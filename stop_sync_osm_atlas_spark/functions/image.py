@@ -1,0 +1,134 @@
+"""Image bytes handling: deterministic synthetic codec + Spark-side decode.
+
+The container image libraries (PIL/opencv) are absent, so the codec is a
+clearly-marked deterministic fake (see ``encode_image``): the byte stream
+carries (fmt, w, h, seed) and pixels are regenerated from the seed. The
+*Spark plumbing* is real and tested: binary column in, `mapInPandas`
+Arrow batches, per-batch numpy decode, PSNR invariant vs the generator's
+ground-truth pixels, corrupt-stream handling.
+
+Analog in the reference: coordinate validation before import
+(reference import_data_db.py:60-100 — range checks, NaN laundering) —
+here: magic/dims/format validation with per-row error strings.
+
+Swap-in point for production: replace ``decode_image`` with a real
+PIL/turbojpeg call — the operator contract (bytes -> HxWx3 uint8 or
+error) and all Spark-side code stay unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MAGIC = b"SYNIMG1"
+_FMT_CODES = {"png": 0, "jpeg": 1}
+_FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
+# "jpeg" simulated loss: quantize to step 4 -> max err 2 -> PSNR ~46 dB
+# (satisfies the >=40 dB lossy invariant by construction).
+_JPEG_STEP = 4
+
+DECODE_STATS_SCHEMA = (
+    "image_id string, ok boolean, dec_w int, dec_h int, psnr double, err string"
+)
+
+
+def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
+    """Ground-truth pixels: seeded noise + horizontal gradient."""
+    rng = np.random.default_rng(seed & 0xFFFFFFFFFFFFFFFF)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.int32)
+    grad = (np.linspace(0, 64, w, dtype=np.int32))[None, :, None]
+    return ((px + grad) % 256).astype(np.uint8)
+
+
+def encode_image(seed: int, w: int, h: int, fmt: str) -> bytes:
+    if fmt not in _FMT_CODES:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    return MAGIC + struct.pack("<BIIQ", _FMT_CODES[fmt], w, h, seed & (2**64 - 1))
+
+
+def decode_image(b: bytes) -> tuple[np.ndarray | None, int, int, str, str | None]:
+    """bytes -> (pixels|None, w, h, fmt, err|None)."""
+    if b is None:
+        return None, 0, 0, "", "null_bytes"
+    if len(b) < len(MAGIC) + 17 or b[: len(MAGIC)] != MAGIC:
+        return None, 0, 0, "", "bad_magic_or_truncated"
+    fmt_code, w, h, seed = struct.unpack("<BIIQ", b[len(MAGIC) : len(MAGIC) + 17])
+    if fmt_code not in _FMT_NAMES:
+        return None, w, h, "", "unknown_fmt_code"
+    if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        return None, w, h, _FMT_NAMES[fmt_code], "bad_dims"
+    px = synth_pixels(seed, w, h)
+    if _FMT_NAMES[fmt_code] == "jpeg":
+        px = ((px.astype(np.int32) // _JPEG_STEP) * _JPEG_STEP + _JPEG_STEP // 2).astype(
+            np.uint8
+        )
+    return px, w, h, _FMT_NAMES[fmt_code], None
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def decode_stats(pairs: DataFrame) -> DataFrame:
+    """mapInPandas operator: validate/decode every image, emit stats.
+
+    Projects to (image_id, bytes, w, h) *before* the Python stage so the
+    parquet scan prunes caption/phash (ReadSchema check in tests).
+    PSNR is decoded-vs-ground-truth (re-synthesized from the embedded
+    seed), i.e. the lossy-roundtrip invariant.
+    """
+
+    def _op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            dec_w = np.zeros(n, dtype=np.int32)
+            dec_h = np.zeros(n, dtype=np.int32)
+            ps = np.full(n, np.nan)
+            err = np.full(n, None, dtype=object)
+            for i, (b, w_meta, h_meta) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"])
+            ):
+                px, w, h, fmt, e = decode_image(b)
+                dec_w[i], dec_h[i] = w, h
+                if e is not None:
+                    err[i] = e
+                    continue
+                if w != w_meta or h != h_meta:
+                    err[i] = "dims_mismatch_metadata"
+                    continue
+                truth_seed = struct.unpack(
+                    "<Q", b[len(MAGIC) + 9 : len(MAGIC) + 17]
+                )[0]
+                truth = synth_pixels(truth_seed, w, h)
+                p = psnr(px, truth)
+                ps[i] = p
+                if fmt == "jpeg" and p < 40.0:
+                    err[i] = "psnr_below_40"
+                    continue
+                if fmt == "png" and p != float("inf"):
+                    err[i] = "lossless_mismatch"
+                    continue
+                ok[i] = True
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "ok": ok,
+                    "dec_w": dec_w,
+                    "dec_h": dec_h,
+                    "psnr": ps,
+                    "err": err,
+                }
+            )
+
+    return pairs.select("image_id", "bytes", "w", "h").mapInPandas(
+        _op, schema=DECODE_STATS_SCHEMA
+    )

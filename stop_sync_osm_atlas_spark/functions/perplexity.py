@@ -1,0 +1,68 @@
+"""KenLM-style character n-gram perplexity, Arrow-vectorized.
+
+Bigram model with add-one smoothing over a fixed byte alphabet, trained
+deterministically from a seeded corpus (FIXTURES.md §3 ``ngram_model``).
+Scoring runs in a pandas UDF: per Arrow batch, one vectorized gather from
+a (V, V) log-prob table — no per-row Python loops over long strings
+beyond the O(len) codepoint mapping, no model re-load per batch.
+
+This is the engine's analog of the reference's distance score: a
+continuous quality signal fed into a threshold ladder
+(reference matching_process/problem_detection.py:36-64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Alphabet: printable ASCII 32..126 + OOV bucket + BOS.
+_V = 97
+_OOV = 95
+_BOS = 96
+_MAX_CHARS = 512
+
+
+def _encode(t: str) -> np.ndarray:
+    a = np.frombuffer(t[:_MAX_CHARS].encode("ascii", "replace"), dtype=np.uint8).astype(
+        np.int32
+    )
+    a = a - 32
+    a[(a < 0) | (a >= _OOV)] = _OOV
+    return a
+
+
+def train_char_bigram(texts: list[str]) -> np.ndarray:
+    """(V, V) float32 log P(next | prev), add-one smoothed."""
+    counts = np.ones((_V, _V), dtype=np.float64)
+    for t in texts:
+        if not isinstance(t, str) or not t:
+            continue
+        enc = _encode(t)
+        prev = np.concatenate(([_BOS], enc[:-1]))
+        np.add.at(counts, (prev, enc), 1.0)
+    return np.log(counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
+
+
+def perplexity_scores(texts: pd.Series, log_prob: np.ndarray) -> np.ndarray:
+    out = np.full(len(texts), np.nan, dtype=np.float64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str) or not t:
+            continue
+        enc = _encode(t)
+        if len(enc) == 0:
+            continue
+        prev = np.concatenate(([_BOS], enc[:-1]))
+        ll = log_prob[prev, enc].sum()
+        out[i] = float(np.exp(-ll / len(enc)))
+    return out
+
+
+def perplexity_udf(log_prob: np.ndarray):
+    @F.pandas_udf(T.DoubleType())
+    def _ppl(captions: pd.Series) -> pd.Series:
+        return pd.Series(perplexity_scores(captions, log_prob))
+
+    return _ppl

@@ -1,0 +1,101 @@
+"""Text-statistic column expressions — pure Catalyst, whole-stage-codegen'd.
+
+These are the engine's analog of the reference's attribute-mismatch
+heuristics (reference matching_process/problem_detection.py:111-213) and
+its universal comparator ``lower(trim(x))`` (reference
+matching_process/exact_matching.py:176, name_matching.py:51).  Every
+function here returns a Column built only from pyspark.sql.functions —
+no Python UDFs in the hot path (100 TB: these stay inside
+WholeStageCodegen, zero serde).
+
+Semantics are mirror-imaged 1:1 by the DuckDB oracle SQL in
+``__spark_entry__.py`` and the pandas oracle in ``oracle/oracle.py``;
+changing a definition here requires changing all three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Non-alphanumeric, non-whitespace — the "symbol" class. Kept ASCII-simple
+# so Java regex (Spark), RE2 (DuckDB) and Python re agree byte-for-byte.
+SYMBOL_CLASS = r"[^A-Za-z0-9\s]"
+WS_SPLIT = r"\s+"
+
+
+def norm_text(c: Column) -> Column:
+    """lower(trim(x)) — the universal comparator (X3)."""
+    return F.lower(F.trim(c))
+
+
+def words(c: Column) -> Column:
+    """Whitespace tokenization of normalized text; [] for null/blank."""
+    return F.when(
+        c.isNotNull() & (F.trim(c) != ""), F.split(norm_text(c), WS_SPLIT)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def n_words(c: Column) -> Column:
+    return F.size(words(c))
+
+
+def n_chars(c: Column) -> Column:
+    return F.length(F.coalesce(c, F.lit("")))
+
+
+def distinct_word_ratio(c: Column) -> Column:
+    """|distinct words| / |words|; 1.0 for empty (no repetition evidence)."""
+    w = words(c)
+    return F.when(F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)).otherwise(
+        F.lit(1.0)
+    )
+
+
+def repetition_ratio(c: Column) -> Column:
+    """1 - distinct/total — planted near-dup captions score >= 0.5."""
+    return F.lit(1.0) - distinct_word_ratio(c)
+
+
+def symbol_ratio(c: Column) -> Column:
+    """Fraction of non-alphanumeric non-space chars over non-space chars."""
+    no_space = F.regexp_replace(F.coalesce(c, F.lit("")), WS_SPLIT, "")
+    clean = F.regexp_replace(no_space, SYMBOL_CLASS, "")
+    return F.when(
+        F.length(no_space) > 0,
+        (F.length(no_space) - F.length(clean)) / F.length(no_space),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_density(c: Column, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords (any language pooled).
+
+    Array-lambda filter, not a join: the stopword list is tiny and
+    constant-folded into the codegen'd expression — the broadcast-map
+    analog of the reference's operator-normalization lookup (J12,
+    reference matching_process/org_standardization.py:7-44).
+    """
+    w = words(c)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+# One "token" = a letter run, a digit run, or a single symbol - a cheap
+# deterministic BPE proxy that stays JVM-side (regexp_count, codegen'd).
+BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe_ish(c: Column) -> Column:
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(BPE_ISH_TOKEN))
+
+
+def fingerprint(c: Column, prefix_len: int = 64) -> Column:
+    """Document fingerprint: md5 of the first ``prefix_len`` normalized chars.
+
+    Cross-engine stable (MD5 is MD5 everywhere) — used for exact-dup
+    grouping; the analog of the reference's duplicate key
+    ``(number, designation)`` (reference matching_script.py:221-242).
+    """
+    norm = F.substring(F.regexp_replace(norm_text(F.coalesce(c, F.lit(""))), WS_SPLIT, " "), 1, prefix_len)
+    return F.md5(norm)

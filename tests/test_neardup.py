@@ -1,0 +1,80 @@
+"""Near-dup clustering: micro-cases, skew/salting, propagation
+(the J3/J4/Q4 analogs, SURVEY.md §2.3/§2.9)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from stop_sync_osm_atlas_spark.operators.neardup import neardup_clusters
+from stop_sync_osm_atlas_spark.oracle.oracle import neardup_oracle
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "phash"]), SCHEMA)
+    out = neardup_clusters(df, **kw).toPandas().set_index("image_id").sort_index()
+    return out
+
+
+def test_identical_hashes_cluster(spark):
+    out = _run(spark, [("a", 12345), ("b", 12345), ("c", 999999999)])
+    assert out.loc["a", "cluster_id"] == "a" and out.loc["b", "cluster_id"] == "a"
+    assert out.loc["a", "is_cluster_rep"] and not out.loc["b", "is_cluster_rep"]
+    assert out.loc["c", "cluster_size"] == 1
+
+
+def test_radius_boundary(spark):
+    base = 1 << 20
+    within = base ^ (0b111 << 20)   # 3 bits differ -> clusters
+    beyond = base ^ (0b1111 << 30)  # 4 from base, 7 from within -> separate
+    out = _run(spark, [("a", base), ("b", within), ("c", beyond)])
+    assert out.loc["b", "cluster_id"] == "a"
+    assert out.loc["c", "cluster_id"] == "c"
+
+
+def test_different_buckets_never_compared(spark):
+    # same high bits, different low-16 bucket bits -> never candidates
+    a = 0xABCDEF0000
+    b = a ^ 0x1  # 1-bit Hamming but different bucket
+    out = _run(spark, [("a", a), ("b", b)])
+    assert out.loc["a", "cluster_id"] == "a" and out.loc["b", "cluster_id"] == "b"
+
+
+def test_hot_bucket_salting_matches_oracle(spark, fixture_1k, nd_kwargs):
+    pairs = fixture_1k.pairs
+    sdf = spark.createDataFrame(pairs[["image_id", "phash"]], SCHEMA)
+    eng = neardup_clusters(sdf, **nd_kwargs).toPandas()
+    orc = neardup_oracle(pairs, **nd_kwargs)
+    m = eng.merge(orc, on="image_id", suffixes=("_e", "_o"))
+    assert len(m) == len(pairs)
+    for col in ["cluster_id", "cluster_size", "is_cluster_rep"]:
+        assert (m[f"{col}_e"] == m[f"{col}_o"]).all(), col
+
+
+def test_hot_bucket_actually_salted(fixture_1k, nd_kwargs):
+    # sanity: the planted hot bucket exceeds the test threshold
+    ph = fixture_1k.pairs["phash"].astype("uint64")
+    buckets = (ph & 0xFFFF).value_counts()
+    assert buckets.iloc[0] > nd_kwargs["hot_threshold"]
+
+
+def test_propagation_rep_drops_members(spark, fixture_1k, fixture_paths, nd_kwargs):
+    """Cluster-level decision propagation: non-reps drop via
+    near_duplicate (reference matching_script.py:404-467 analog)."""
+    from stop_sync_osm_atlas_spark.operators.cascade import run_cascade
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    out = run_cascade(pairs, neardup_kwargs=nd_kwargs).toPandas()
+    nd = out[out["rule"] == "near_duplicate"]
+    assert len(nd) > 0
+    assert (~nd["is_cluster_rep"]).all()
+    assert (nd["decision"] == "drop").all()

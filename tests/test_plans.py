@@ -1,0 +1,88 @@
+"""Physical-plan assertions: the 100 TB design contracts.
+
+These tests read .explain output and fail if a regression reintroduces
+a full-column scan, loses a pushed filter, or degrades a broadcast
+join — the Spark analog of the reference's hand-rolled optimizations
+(SURVEY.md §4: usecols pruning, filter-early, small-side broadcast).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_decode_stats_prunes_columns(spark, fixture_paths):
+    """decode_stats must not scan caption/phash (bytes are heavy enough)."""
+    from stop_sync_osm_atlas_spark.functions.image import decode_stats
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    plan = _plan(decode_stats(pairs))
+    scan = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg][0]
+    assert "caption" not in scan and "phash" not in scan, scan
+
+
+def test_neardup_shuffles_slim_projection(spark, fixture_paths):
+    """The near-dup shuffle must carry only (image_id, phash, keys) —
+    never bytes/caption."""
+    from stop_sync_osm_atlas_spark.operators.neardup import neardup_clusters
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    plan = _plan(neardup_clusters(pairs))
+    scans = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg]
+    assert scans, plan
+    for s in scans:
+        assert "bytes" not in s and "caption" not in s, s
+
+
+def test_filter_pushdown_to_parquet(spark):
+    sf = "/root/testdata/sf0.001"
+    df = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_broadcast_join_for_small_dim(spark):
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    plan = _plan(li.join(F.broadcast(n), li.l_suppkey == n.n_nationkey))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cascade_rules_stay_codegen(spark, fixture_paths):
+    """The metadata rule ladder must be whole-stage-codegen'd (no
+    Python row UDFs in the hot path)."""
+    from stop_sync_osm_atlas_spark.operators import scrub as SC
+    from stop_sync_osm_atlas_spark.operators.rules import RuleConfig, metadata_rule_hits, with_rule_resolution
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    scored = (
+        pairs.withColumn("lang", F.lit("en"))
+        .withColumn("perplexity", F.lit(None).cast("double"))
+        .withColumn("is_cluster_rep", F.lit(True))
+    )
+    hits = metadata_rule_hits(scored, RuleConfig())
+    hits["langid_undetermined"] = F.lit(False)
+    hits["high_perplexity"] = F.lit(False)
+    hits["near_duplicate"] = F.lit(False)
+    out = with_rule_resolution(
+        scored, hits, SC.scrub_hit(F.col("caption")), SC.pii_only_hit(F.col("caption"))
+    )
+    plan = _plan(out.select("image_id", "rule", "decision"))
+    # '*' node prefix in formatted output marks whole-stage-codegen spans
+    assert "* Project" in plan or "WholeStageCodegen" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,58 @@
+"""Resume correctness (SURVEY.md §7.4.5): a run killed after k committed
+partition groups, then resumed, must produce byte-identical final tables
+to a clean run (the persistent_data/snapshot-checkpoint analog)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from stop_sync_osm_atlas_spark.operators.cascade import run_cascade
+from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+from stop_sync_osm_atlas_spark.sources.checkpoint import CheckpointedWriter
+
+
+def _decisions(spark, fixture_paths, nd_kwargs):
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    return run_cascade(pairs, neardup_kwargs=nd_kwargs)
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf.drop(columns=["reasons"])
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_resume_identical_to_clean_run(spark, fixture_paths, nd_kwargs, tmp_path):
+    dec = _decisions(spark, fixture_paths, nd_kwargs)
+
+    clean_root = str(tmp_path / "clean")
+    w1 = CheckpointedWriter(clean_root, n_groups=4)
+    counts1 = w1.run(dec)
+    assert set(counts1) == {0, 1, 2, 3}
+
+    # interrupted run: commit only groups 0 and 1, then "crash"
+    resume_root = str(tmp_path / "resumed")
+    w2 = CheckpointedWriter(resume_root, n_groups=4)
+    w2.write_group(dec, 0)
+    w2.write_group(dec, 1)
+    assert w2.committed_groups() == {0, 1}
+
+    # resume: only remaining groups are written
+    w3 = CheckpointedWriter(resume_root, n_groups=4)
+    counts3 = w3.run(dec)
+    assert set(counts3) == {2, 3}
+
+    a = _canon(w1.read_all(spark).toPandas())
+    b = _canon(w3.read_all(spark).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rerun_is_noop(spark, fixture_paths, nd_kwargs, tmp_path):
+    dec = _decisions(spark, fixture_paths, nd_kwargs)
+    root = str(tmp_path / "noop")
+    w = CheckpointedWriter(root, n_groups=2)
+    w.run(dec)
+    again = w.run(dec)
+    assert again == {}

@@ -1,0 +1,82 @@
+"""T1 unit tests: each rule/operator on hand-built micro-frames
+(SURVEY.md §5; threshold semantics shaped after the reference's
+problem_detection.py:36-64 ladder)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stop_sync_osm_atlas_spark.functions import text as TX
+from stop_sync_osm_atlas_spark.functions.langid import langid_marker_cols
+from stop_sync_osm_atlas_spark.operators import scrub as SC
+from stop_sync_osm_atlas_spark.operators.rules import RULE_PRIORITY, RULE_TABLE
+
+
+def _one(spark, caption, col):
+    df = spark.createDataFrame(pd.DataFrame({"caption": [caption]}))
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_n_words(spark):
+    assert _one(spark, "a b  c", TX.n_words(F.col("caption"))) == 3
+    assert _one(spark, "   ", TX.n_words(F.col("caption"))) == 0
+    assert _one(spark, None, TX.n_words(F.col("caption"))) == 0
+
+
+def test_repetition_ratio(spark):
+    assert _one(spark, "x x x y", TX.repetition_ratio(F.col("caption"))) == 0.5
+    assert _one(spark, "a b c d", TX.repetition_ratio(F.col("caption"))) == 0.0
+    assert _one(spark, None, TX.repetition_ratio(F.col("caption"))) == 0.0
+
+
+def test_symbol_ratio(spark):
+    # "ab!!" -> 2 symbols of 4 non-space chars
+    assert _one(spark, "ab!!", TX.symbol_ratio(F.col("caption"))) == 0.5
+    assert _one(spark, "abcd", TX.symbol_ratio(F.col("caption"))) == 0.0
+    assert _one(spark, "", TX.symbol_ratio(F.col("caption"))) == 0.0
+
+
+def test_stopword_density(spark):
+    v = _one(spark, "the mountain of dreams", TX.stopword_density(F.col("caption"), ["the", "of"]))
+    assert v == 0.5
+
+
+def test_token_count(spark):
+    # "ab12-cd" -> ab | 12 | - | cd = 4
+    assert _one(spark, "ab12-cd", TX.token_count_bpe_ish(F.col("caption"))) == 4
+
+
+def test_langid_markers(spark):
+    lang, conf = langid_marker_cols(F.col("caption"))
+    assert _one(spark, "the train and the station", lang) == "en"
+    assert _one(spark, "der zug und die station", lang) == "de"
+    assert _one(spark, "zxq vqk pzw", lang) == "und"
+    assert _one(spark, None, lang) == "und"
+
+
+def test_scrub_patterns(spark):
+    cases = {
+        "mail me at bob@x.com now": "mail me at <EMAIL> now",
+        "go to https://a.b/c?d=1 ok": "go to <URL> ok",
+        "id 1234567890123456 here": "id <ID> here",
+        "call +41 79 123 45 67 now": "call <PHONE> now",
+        "that badword1 thing": "that <TOX> thing",
+        "clean caption": "clean caption",
+    }
+    for src, expect in cases.items():
+        got = _one(spark, src, SC.scrubbed_caption(F.col("caption")))
+        assert got == expect, (src, got, expect)
+        assert SC.scrub_python(src) == expect
+
+
+def test_pii_only(spark):
+    assert _one(spark, "alice@ex.com bob@ex.org carol@ex.net dave@ex.com erin@ex.ch", SC.pii_only_hit(F.col("caption")))
+    assert not _one(spark, "words around a@b.com here", SC.pii_only_hit(F.col("caption")))
+
+
+def test_rule_priorities_strictly_ordered():
+    prios = [p for _, p, _, _ in RULE_TABLE]
+    assert prios == sorted(prios) and len(set(prios)) == len(prios)
+    assert RULE_PRIORITY["override"] < RULE_PRIORITY["corrupt_image"]
+    assert RULE_PRIORITY["scrub"] > RULE_PRIORITY["near_duplicate"]

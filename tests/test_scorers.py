@@ -1,0 +1,106 @@
+"""Model-based scorers: hashed-ngram NB langid + char-bigram perplexity
+(Arrow pandas UDFs) and the image decode/PSNR invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stop_sync_osm_atlas_spark.fixtures.generator import _CONTENT, generate, write_fixture
+from stop_sync_osm_atlas_spark.functions.image import (
+    decode_image,
+    decode_stats,
+    encode_image,
+    psnr,
+    synth_pixels,
+)
+from stop_sync_osm_atlas_spark.functions.langid import (
+    langid_hashed_ngram_udf,
+    train_langid_model,
+)
+from stop_sync_osm_atlas_spark.functions.perplexity import (
+    perplexity_scores,
+    train_char_bigram,
+)
+from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+
+def _training_corpus():
+    texts, labels = [], []
+    rng = np.random.default_rng(7)
+    from stop_sync_osm_atlas_spark.fixtures.generator import _caption
+
+    for lang in sorted(_CONTENT):
+        for _ in range(200):
+            texts.append(_caption(rng, lang, int(rng.integers(6, 25))))
+            labels.append(lang)
+    return texts, labels
+
+
+def test_nb_langid_accuracy(spark):
+    texts, labels = _training_corpus()
+    model = train_langid_model(texts, labels)
+    # fresh held-out captions
+    rng = np.random.default_rng(99)
+    from stop_sync_osm_atlas_spark.fixtures.generator import _caption
+
+    test_rows = [
+        (lang, _caption(rng, lang, int(rng.integers(6, 25))))
+        for lang in sorted(_CONTENT)
+        for _ in range(50)
+    ]
+    pdf = pd.DataFrame(test_rows, columns=["lang", "caption"])
+    df = spark.createDataFrame(pdf)
+    udf = langid_hashed_ngram_udf(model)
+    out = df.withColumn("pred", udf(F.col("caption"))).select(
+        "lang", F.col("pred.lang").alias("pred")
+    ).toPandas()
+    acc = (out["lang"] == out["pred"]).mean()
+    assert acc >= 0.97, acc
+
+
+def test_perplexity_separates_gibberish():
+    texts, _ = _training_corpus()
+    lp = train_char_bigram(texts)
+    clean = pd.Series(texts[:50])
+    gib = pd.Series(["zxq9 vqk3 pzw7 qjx1 wvz5 xkq2" for _ in range(10)])
+    p_clean = perplexity_scores(clean, lp)
+    p_gib = perplexity_scores(gib, lp)
+    assert np.nanmax(p_clean) < np.nanmin(p_gib), (
+        np.nanmax(p_clean), np.nanmin(p_gib)
+    )
+
+
+def test_codec_roundtrip_psnr():
+    for fmt, check in [("png", lambda p: p == float("inf")), ("jpeg", lambda p: p >= 40)]:
+        b = encode_image(123, 64, 64, fmt)
+        px, w, h, f2, err = decode_image(b)
+        assert err is None and (w, h, f2) == (64, 64, fmt)
+        truth = synth_pixels(123, 64, 64)
+        assert check(psnr(px, truth))
+
+
+def test_decode_stats_operator(spark, fixture_paths):
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    st = decode_stats(pairs).toPandas()
+    assert len(st) == pairs.count()
+    bad = st[~st["ok"]]
+    assert len(bad) > 0 and bad["err"].notna().all()
+    good = st[st["ok"]]
+    # lossy rows satisfy the >=40dB invariant; lossless are exact
+    assert (good["psnr"] >= 40).all()
+
+
+def test_streaming_rule_cascade(spark, fixture_paths, fixture_1k, tmp_path):
+    from stop_sync_osm_atlas_spark.streaming.stream import run_stream_to_memory
+    import shutil
+
+    # readStream needs a directory of files
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    shutil.copy(fixture_paths["pairs"], d / "part-000.parquet")
+    out = run_stream_to_memory(spark, str(d)).toPandas()
+    assert len(out) == len(fixture_1k.pairs)
+    assert set(out["decision"].unique()) <= {"keep", "drop", "scrub"}

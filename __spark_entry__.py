@@ -386,6 +386,62 @@ def q35_grouped_collect(spark, sf):
     )
 
 
+def q36_name_match(spark, sf):
+    """J2: name-index equi-join with candidate-count gate + tie-break
+    (reference name_matching.py:6-95 — accept iff exactly 1 candidate,
+    else tie-break on a second attribute)."""
+    p = _t(spark, sf, "part")
+    probe = p.filter(F.col("p_size") <= 2).select("p_type").distinct()
+    cand = p.join(probe, "p_type")
+    win = W.partitionBy("p_type")
+    cand = cand.withColumn("n_cand", F.count("*").over(win)).withColumn(
+        "n_tie", F.sum(F.when(F.col("p_brand") == "Brand#11", 1).otherwise(0)).over(win)
+    )
+    unique = cand.filter(F.col("n_cand") == 1).select(
+        "p_type", F.col("p_partkey").alias("matched_partkey"), F.lit("unique").alias("match_via")
+    )
+    tie = cand.filter(
+        (F.col("n_cand") > 1) & (F.col("n_tie") == 1) & (F.col("p_brand") == "Brand#11")
+    ).select("p_type", F.col("p_partkey").alias("matched_partkey"), F.lit("tiebreak").alias("match_via"))
+    return unique.unionByName(tie)
+
+
+def q37_token_match(spark, sf):
+    """J6/U3: token-intersection join with priority resolution
+    (reference route_matching_unified.py:143-314 — explode tokens both
+    sides, equi-join, min-priority winner per left row)."""
+    d = _t(spark, sf, "documents")
+    tok_rows = [
+        (w, prio + 1, lang)
+        for prio, lang in enumerate(LANGS)
+        for w in STOPWORDS[lang]
+    ]
+    dim = spark.createDataFrame(tok_rows, "token string, prio int, lang string")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("token")
+    )
+    j = toks.join(F.broadcast(dim), "token")
+    return j.groupBy("doc_id").agg(
+        F.min("prio").alias("best_prio"),
+        F.count("*").alias("n_matched_tokens"),
+    )
+
+
+def q38_viewport(spark, sf):
+    """F9: two-sided SARGable bbox predicate (reference data.py:82-95:
+    primary point in bbox OR (fallback flag AND secondary in bbox))."""
+    o = _t(spark, sf, "orders")
+    lat1 = (F.col("o_orderkey") % 18000) / 100.0 - 90.0
+    lon1 = ((F.col("o_orderkey") * 3) % 36000) / 100.0 - 180.0
+    lat2 = (F.col("o_custkey") % 18000) / 100.0 - 90.0
+    lon2 = ((F.col("o_custkey") * 3) % 36000) / 100.0 - 180.0
+    in1 = lat1.between(10, 40) & lon1.between(100, 170)
+    in2 = lat2.between(10, 40) & lon2.between(100, 170)
+    return o.filter(in1 | ((F.col("o_orderkey") % 7 == 0) & in2)).select(
+        "o_orderkey", F.round(lat1, 2).alias("lat"), F.round(lon1, 2).alias("lon")
+    )
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis / dedup / quality-filter flagship
 # ---------------------------------------------------------------------------
@@ -841,6 +897,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_json_path": q33_json_path,
         "q34_lsh_ann": q34_lsh_ann,
         "q35_grouped_collect": q35_grouped_collect,
+        "q36_name_match": q36_name_match,
+        "q37_token_match": q37_token_match,
+        "q38_viewport": q38_viewport,
     }
 
 
@@ -1054,6 +1113,39 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """,
         "q34_lsh_ann": _oracle_q34(),
+        "q36_name_match": """
+WITH probe AS (SELECT DISTINCT p_type FROM part WHERE p_size <= 2),
+cand AS (
+  SELECT p.p_partkey, p.p_type, p.p_brand,
+    count(*) OVER (PARTITION BY p.p_type) AS n_cand,
+    sum(CASE WHEN p.p_brand = 'Brand#11' THEN 1 ELSE 0 END) OVER (PARTITION BY p.p_type) AS n_tie
+  FROM part p JOIN probe USING (p_type)
+)
+SELECT p_type, p_partkey AS matched_partkey, 'unique' AS match_via FROM cand WHERE n_cand = 1
+UNION ALL
+SELECT p_type, p_partkey, 'tiebreak' FROM cand
+WHERE n_cand > 1 AND n_tie = 1 AND p_brand = 'Brand#11'
+""",
+        "q37_token_match": """
+WITH dim(token, prio, lang) AS (VALUES ('der', 1, 'de'), ('die', 1, 'de'), ('das', 1, 'de'), ('und', 1, 'de'), ('ein', 1, 'de'), ('mit', 1, 'de'), ('auf', 1, 'de'), ('ist', 1, 'de'), ('von', 1, 'de'), ('zu', 1, 'de'), ('the', 2, 'en'), ('and', 2, 'en'), ('of', 2, 'en'), ('to', 2, 'en'), ('a', 2, 'en'), ('in', 2, 'en'), ('is', 2, 'en'), ('with', 2, 'en'), ('on', 2, 'en'), ('for', 2, 'en'), ('le', 3, 'fr'), ('la', 3, 'fr'), ('les', 3, 'fr'), ('et', 3, 'fr'), ('un', 3, 'fr'), ('une', 3, 'fr'), ('dans', 3, 'fr'), ('est', 3, 'fr'), ('avec', 3, 'fr'), ('sur', 3, 'fr'), ('il', 4, 'it'), ('la', 4, 'it'), ('di', 4, 'it'), ('e', 4, 'it'), ('un', 4, 'it'), ('una', 4, 'it'), ('con', 4, 'it'), ('per', 4, 'it'), ('sono', 4, 'it'), ('del', 4, 'it')),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS token
+  FROM documents
+)
+SELECT doc_id, min(prio) AS best_prio, count(*) AS n_matched_tokens
+FROM toks JOIN dim USING (token) GROUP BY doc_id
+""",
+        "q38_viewport": """
+SELECT o_orderkey,
+  round((o_orderkey % 18000) / 100.0 - 90.0, 2) AS lat,
+  round(((o_orderkey * 3) % 36000) / 100.0 - 180.0, 2) AS lon
+FROM orders
+WHERE (((o_orderkey % 18000) / 100.0 - 90.0) BETWEEN 10 AND 40
+       AND (((o_orderkey * 3) % 36000) / 100.0 - 180.0) BETWEEN 100 AND 170)
+   OR (o_orderkey % 7 = 0
+       AND ((o_custkey % 18000) / 100.0 - 90.0) BETWEEN 10 AND 40
+       AND (((o_custkey * 3) % 36000) / 100.0 - 180.0) BETWEEN 100 AND 170)
+""",
         "q33_json_path": """
 SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events

@@ -42,7 +42,7 @@ def ensure_pairs(n: int) -> str:
 
     os.makedirs(path, exist_ok=True)
     fx = generate(n)
-    paths = write_fixture(fx, path)
+    paths = write_fixture(fx, path, n_shards=64)
     with open(marker, "w") as fh:
         fh.write("ok")
     return paths["pairs"]

@@ -323,8 +323,13 @@ def _tok(rng: np.random.Generator) -> str:
     return "".join(letters[int(x)] for x in rng.integers(0, 26, 6))
 
 
-def write_fixture(fx: Fixture, root: str) -> dict[str, str]:
-    """Write pairs/labels/overrides as parquet (pyarrow, no Spark)."""
+def write_fixture(fx: Fixture, root: str, n_shards: int = 1) -> dict[str, str]:
+    """Write pairs/labels/overrides as parquet (pyarrow, no Spark).
+
+    ``n_shards`` > 1 writes pairs as a directory of shard files —
+    emulates the multi-file layout a real table has, so local Spark
+    scans get genuine task parallelism.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -341,9 +346,20 @@ def write_fixture(fx: Fixture, root: str) -> dict[str, str]:
             ("phash", pa.int64()),
         ]
     )
-    t = pa.Table.from_pandas(fx.pairs, schema=schema, preserve_index=False)
     paths["pairs"] = os.path.join(root, "pairs.parquet")
-    pq.write_table(t, paths["pairs"])
+    if n_shards <= 1:
+        t = pa.Table.from_pandas(fx.pairs, schema=schema, preserve_index=False)
+        pq.write_table(t, paths["pairs"])
+    else:
+        os.makedirs(paths["pairs"], exist_ok=True)
+        n = len(fx.pairs)
+        step = (n + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            chunk = fx.pairs.iloc[s * step : (s + 1) * step]
+            if not len(chunk):
+                break
+            t = pa.Table.from_pandas(chunk, schema=schema, preserve_index=False)
+            pq.write_table(t, os.path.join(paths["pairs"], f"part-{s:05d}.parquet"))
     for name, df in [("pairs_labels", fx.labels), ("overrides", fx.overrides)]:
         paths[name] = os.path.join(root, f"{name}.parquet")
         t2 = pa.Table.from_pandas(df, preserve_index=False)

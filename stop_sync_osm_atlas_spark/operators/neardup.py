@@ -131,30 +131,16 @@ def neardup_clusters(
     )
 
     # Pass 2: merge salted sub-clusters via their reps (hot buckets only).
-    reps = local.where(F.col("is_hot")).groupBy("bucket", "local_cluster").agg(
-        F.min(F.struct("image_id", "phash")).alias("rep")
+    # The rep of a local cluster is its id itself (min image_id), so the
+    # rep rows are exactly the rows where image_id == local_cluster.
+    reps = (
+        local.where(F.col("is_hot") & (F.col("image_id") == F.col("local_cluster")))
+        .select("bucket", F.col("local_cluster").alias("orig_local"), "phash")
     )
-    reps = reps.select(
-        "bucket",
-        "local_cluster",
-        F.col("rep.image_id").alias("image_id"),
-        F.col("rep.phash").alias("phash"),
-        F.lit(False).alias("is_hot"),
+    merged = reps.groupBy("bucket").applyInPandas(
+        lambda pdf: _merge_reps(pdf, 2 * radius),
+        schema="bucket int, orig_local string, global_cluster string",
     )
-    merge_schema = (
-        "image_id string, phash long, bucket int, is_hot boolean, local_cluster string"
-    )
-    merged = (
-        reps.withColumnRenamed("local_cluster", "orig_local")
-        .withColumn("local_cluster", F.col("orig_local"))
-        .select("image_id", "phash", "bucket", "is_hot", "orig_local")
-        .groupBy("bucket")
-        .applyInPandas(
-            lambda pdf: _merge_reps(pdf, 2 * radius),
-            schema="bucket int, orig_local string, global_cluster string",
-        )
-    )
-    _ = merge_schema
 
     resolved = local.join(
         merged,

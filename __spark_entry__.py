@@ -558,10 +558,9 @@ def q26_minhash_lsh(spark, sf):
 
 
 def q27_simhash(spark, sf):
-    """SimHash fingerprint buckets (operators/dedup.simhash64)."""
+    """SimHash fingerprints (operators/dedup.simhash_table)."""
     d = _t(spark, sf, "documents")
-    sh = DD.simhash64(F.col("text"))
-    return d.select(F.col("doc_id"), sh.alias("simhash"))
+    return DD.simhash_table(d)
 
 
 def q28_scrub(spark, sf):

@@ -122,7 +122,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    def _log(msg: str) -> None:
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    _log("generating pairs fixture")
     pairs_path = ensure_pairs(PAIRS_N)
+    _log("running qf_pipeline")
     t0 = time.time()
     n_rows = run_pipeline(spark, pairs_path, "/tmp/spark_graft_bench/out_default")
     timings["qf_pipeline"] = round(time.time() - t0, 3)
@@ -136,6 +141,7 @@ def main() -> None:
     ]
     qs = entry.queries()
     for name in headline:
+        _log(f"running {name}")
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         # count() materializes the whole plan without driver collect

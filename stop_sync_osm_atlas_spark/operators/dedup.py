@@ -102,13 +102,47 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(c: Column, n: int = 3) -> Column:
-    """array<bigint> of 16 minhash values over word-n-gram shingles."""
+    """array<bigint> of 16 minhash values over word-n-gram shingles.
+
+    NOTE: inlining this Column 16x lets Catalyst's CollapseProject
+    re-expand the md5 transform per use — prefer ``minhash_signatures``
+    (the DataFrame variant below) which forces materialization barriers.
+    """
     hashes = F.transform(word_shingles(c, n), lambda s: md5_int(s))
     sig = [
         F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)))
         for a, b in MINHASH_COEFFS
     ]
     return F.array(*sig)
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sig) with the md5 shingle hashing computed exactly once.
+
+    The repartition between the hash step and the 16 signature
+    expressions is a deliberate pipeline barrier: without it Catalyst
+    collapses the projections and recomputes the md5 transform once per
+    signature slot (16x) and again per LSH band key (4x) — a 64x CPU
+    blow-up measured at sf0.1. The shuffle also buys scan-side
+    parallelism for skinny single-file inputs.
+    """
+    hs = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.transform(word_shingles(F.col(text_col), n), lambda s: md5_int(s)).alias("hs"),
+        )
+        .where(F.size(F.col("hs")) > 0)
+        .repartition("id")
+    )
+    sig = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+        )
+        for a, b in MINHASH_COEFFS
+    ]
+    return hs.select("id", F.array(*sig).alias("sig")).repartition("id")
 
 
 def minhash_lsh_pairs(
@@ -125,9 +159,7 @@ def minhash_lsh_pairs(
     At scale this replaces the O(pairs-sharing-a-shingle) blow-up of
     ``ngram_jaccard_pairs`` with O(4 x docs) band keys.
     """
-    sigs = docs.select(
-        F.col(id_col).alias("id"), minhash_signature(F.col(text_col), n).alias("sig")
-    ).where(F.size(F.col("sig")) > 0)
+    sigs = minhash_signatures(docs, n=n, text_col=text_col, id_col=id_col)
     bands = sigs.select(
         "id",
         "sig",
@@ -174,6 +206,36 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("a_id", "b_id", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
+
+
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) with the token-hash array materialized once
+    (same CollapseProject hazard as minhash: 60 bit-vote expressions
+    would each re-run the md5 transform without the barrier)."""
+    hs = docs.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(F.split(norm_text(F.col(text_col)), r"\s+")),
+            lambda w: md5_int(w, hex_chars=15),
+        ).alias("hs"),
+    ).repartition(id_col)
+    bits = []
+    for bpos in range(60):
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, bpos).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(
+            F.when(vote > 0, F.lit(1 << bpos).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return hs.select(id_col, out.alias("simhash"))
 
 
 def simhash64(c: Column, n: int = 1) -> Column:

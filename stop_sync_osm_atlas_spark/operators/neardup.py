@@ -42,6 +42,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from ..functions.phash import DEFAULT_BUCKET_BITS, DEFAULT_HAMMING_RADIUS
 
@@ -81,13 +82,45 @@ def _components(phashes: np.ndarray, radius: int) -> np.ndarray:
     return np.array([find(i) for i in range(n)])
 
 
-def _cluster_group(pdf: pd.DataFrame, radius: int) -> pd.DataFrame:
-    roots = _components(pdf["phash"].to_numpy(), radius)
-    ids = pdf["image_id"].to_numpy(dtype=object)
-    out = pdf[["image_id", "phash", "bucket", "is_hot"]].copy()
-    comp_min = pd.Series(ids).groupby(roots).transform("min").to_numpy(dtype=object)
-    out["local_cluster"] = comp_min
-    return out
+def _cluster_partition(radius: int):
+    """mapInPandas partition function: one Python call per PARTITION.
+
+    Input must be hash-partitioned AND sorted by (bucket, sub) so every
+    group is a contiguous slice. Grouped-map applyInPandas costs ~ms of
+    Arrow/pandas overhead per group; with millions of tiny buckets that
+    overhead dominates, so we batch all groups of a partition into one
+    call and slice with numpy (measured ~10x on the sf0.1 bench).
+    """
+
+    def _fn(it):
+        pdfs = list(it)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        bucket = pdf["bucket"].to_numpy()
+        sub = pdf["sub"].to_numpy()
+        ph = pdf["phash"].to_numpy()
+        ids = pdf["image_id"].to_numpy(dtype=object)
+        out = ids.copy()  # default: own cluster (singleton groups)
+        change = np.flatnonzero((bucket[1:] != bucket[:-1]) | (sub[1:] != sub[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(pdf)]))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            roots = _components(ph[s:e], radius)
+            out[s:e] = pd.Series(ids[s:e]).groupby(roots).transform("min").to_numpy()
+        yield pd.DataFrame(
+            {
+                "image_id": ids,
+                "phash": ph,
+                "bucket": bucket,
+                "is_hot": pdf["is_hot"].to_numpy(),
+                "local_cluster": out,
+            }
+        )
+
+    return _fn
 
 
 def neardup_clusters(
@@ -115,8 +148,22 @@ def neardup_clusters(
     slim = slim.join(F.broadcast(sizes), "bucket").withColumn(
         "is_hot", F.col("bucket_n") > F.lit(hot_threshold)
     )
+
+    # Singleton buckets (the overwhelming majority of a web corpus) never
+    # enter the Python clustering path: their cluster is themselves.
+    # This is the blocking no-op case the reference also short-circuits
+    # (exact_matching.py: groups with a single candidate).
+    singles = slim.where(F.col("bucket_n") == 1).select(
+        "image_id",
+        "phash",
+        "bucket",
+        F.lit(False).alias("is_hot"),
+        F.col("image_id").alias("local_cluster"),
+    )
+
+    multi = slim.where(F.col("bucket_n") >= 2)
     shr = F.shiftrightunsigned(F.col("phash"), bits)
-    slim = slim.withColumn(
+    multi = multi.withColumn(
         "sub",
         F.when(F.col("is_hot"), shr.bitwiseAND(F.lit(sub_mask)).cast("int")).otherwise(
             F.lit(0)
@@ -126,44 +173,49 @@ def neardup_clusters(
     pass1_schema = (
         "image_id string, phash long, bucket int, is_hot boolean, local_cluster string"
     )
-    local = slim.groupBy("bucket", "sub").applyInPandas(
-        lambda pdf: _cluster_group(pdf, radius), schema=pass1_schema
+    local = (
+        multi.select("image_id", "phash", "bucket", "is_hot", "sub")
+        .repartition("bucket", "sub")
+        .sortWithinPartitions("bucket", "sub")
+        .mapInPandas(_cluster_partition(radius), schema=pass1_schema)
     )
+    local = local.unionByName(singles)
 
-    # Pass 2: merge salted sub-clusters via their reps (hot buckets only).
-    # The rep of a local cluster is its id itself (min image_id), so the
-    # rep rows are exactly the rows where image_id == local_cluster.
-    reps = (
-        local.where(F.col("is_hot") & (F.col("image_id") == F.col("local_cluster")))
-        .select("bucket", F.col("local_cluster").alias("orig_local"), "phash")
-    )
-    merged = reps.groupBy("bucket").applyInPandas(
-        lambda pdf: _merge_reps(pdf, 2 * radius),
-        schema="bucket int, orig_local string, global_cluster string",
-    )
-
-    resolved = local.join(
-        merged,
-        (local["bucket"] == merged["bucket"])
-        & (local["local_cluster"] == merged["orig_local"]),
-        "left",
-    ).select(
-        local["image_id"],
-        F.coalesce(merged["global_cluster"], local["local_cluster"]).alias(
-            "cluster_id"
-        ),
-    )
-
-    sizes2 = resolved.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return (
-        resolved.join(sizes2, "cluster_id")
-        .withColumn("is_cluster_rep", F.col("image_id") == F.col("cluster_id"))
-        .select(
-            "image_id",
-            "cluster_id",
-            F.col("cluster_size").cast("int").alias("cluster_size"),
-            "is_cluster_rep",
+    # Pass 2 (salted hot buckets only): merge sub-clusters via reps.
+    # Skipped entirely when no bucket exceeded the threshold — a tiny
+    # driver-side probe on the (<= 2^bits row) sizes aggregate.
+    has_hot = sizes.where(F.col("bucket_n") > F.lit(hot_threshold)).limit(1).count() > 0
+    if has_hot:
+        reps = local.where(
+            F.col("is_hot") & (F.col("image_id") == F.col("local_cluster"))
+        ).select("bucket", F.col("local_cluster").alias("orig_local"), "phash")
+        merged = reps.groupBy("bucket").applyInPandas(
+            lambda pdf: _merge_reps(pdf, 2 * radius),
+            schema="bucket int, orig_local string, global_cluster string",
         )
+        resolved = local.join(
+            merged,
+            (local["bucket"] == merged["bucket"])
+            & (local["local_cluster"] == merged["orig_local"]),
+            "left",
+        ).select(
+            local["image_id"],
+            F.coalesce(merged["global_cluster"], local["local_cluster"]).alias(
+                "cluster_id"
+            ),
+        )
+    else:
+        resolved = local.select(
+            "image_id", F.col("local_cluster").alias("cluster_id")
+        )
+
+    # cluster size + rep flag in ONE shuffle (window over cluster_id)
+    win = W.partitionBy("cluster_id")
+    return resolved.select(
+        "image_id",
+        "cluster_id",
+        F.count("*").over(win).cast("int").alias("cluster_size"),
+        (F.col("image_id") == F.col("cluster_id")).alias("is_cluster_rep"),
     )
 
 

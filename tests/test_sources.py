@@ -1,0 +1,92 @@
+"""Source-format coverage (SURVEY.md §2.1): fixed-width text scan (S5,
+the HRDF analog), semicolon CSV with explicit schema (S1/S2), and the
+checkpointed writer's committed-group accounting."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_fixed_width_text_scan(spark, tmp_path):
+    """spark.read.text + substring/regexp parsing with cheap guard
+    filters pushed before the expensive split (reference
+    get_atlas_data.py:658-773 GLEISE parse with guards :678-689)."""
+    lines = [
+        "8503000  G 'Zuerich HB'      1  ",
+        "8507000  G 'Bern'            2  ",
+        "% comment line to be filtered   ",
+        "8503000  X 'not a G record'  9  ",
+    ]
+    p = tmp_path / "fixed.txt"
+    p.write_text("\n".join(lines))
+    raw = spark.read.text(str(p))
+    parsed = (
+        raw.filter(~F.col("value").startswith("%"))  # cheap guard first
+        .filter(F.substring("value", 10, 1) == "G")
+        .select(
+            F.substring("value", 1, 7).cast("long").alias("uic"),
+            F.regexp_extract("value", r"'([^']*)'", 1).alias("name"),
+            F.regexp_extract("value", r"(\d+)\s*$", 1).cast("int").alias("track"),
+        )
+    )
+    rows = {r["uic"]: r for r in parsed.collect()}
+    assert set(rows) == {8503000, 8507000}
+    assert rows[8503000]["name"] == "Zuerich HB"
+    assert rows[8507000]["track"] == 2
+
+
+def test_semicolon_csv_explicit_schema(spark, tmp_path):
+    """S1: ';'-separated CSV with explicit StructType, no inference
+    (reference matching_script.py:183 pd.read_csv(sep=';'))."""
+    p = tmp_path / "atlas.csv"
+    p.write_text("sloid;number;designation\nch:1:sloid:1;8503000;Gleis 1\nch:1:sloid:2;8507000;Kante A\n")
+    schema = T.StructType(
+        [
+            T.StructField("sloid", T.StringType()),
+            T.StructField("number", T.LongType()),
+            T.StructField("designation", T.StringType()),
+        ]
+    )
+    df = spark.read.csv(str(p), sep=";", header=True, schema=schema)
+    assert df.schema == schema
+    out = {r["sloid"]: r["number"] for r in df.collect()}
+    assert out == {"ch:1:sloid:1": 8503000, "ch:1:sloid:2": 8507000}
+    # column pruning: selecting one column must not fail schema checks
+    assert df.select("designation").count() == 2
+
+
+def test_sloid_split_extraction(spark):
+    """X6: split-on-':' extraction (parse_stop_id / last token,
+    reference get_atlas_data.py:502-549)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"sloid": ["ch:1:sloid:7:3:310", "ch:1:sloid:9"]})
+    )
+    out = df.select(
+        F.element_at(F.split("sloid", ":"), -1).alias("last"),
+        F.element_at(F.split("sloid", ":"), 4).alias("fourth"),
+    ).collect()
+    assert out[0]["last"] == "310" and out[0]["fourth"] == "7"
+    assert out[1]["last"] == "9"
+
+
+def test_checkpoint_group_pruning(spark, fixture_paths, tmp_path):
+    """The resume path must not rewrite committed groups (partition-level
+    pruning, not row-level anti-join)."""
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+    from stop_sync_osm_atlas_spark.sources.checkpoint import CheckpointedWriter
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    dec = pairs.select(
+        "image_id",
+        F.lit("keep").alias("decision"),
+        F.pmod(F.xxhash64("image_id"), F.lit(64)).cast("int").alias("part_bucket"),
+    )
+    w = CheckpointedWriter(str(tmp_path / "ckpt"), n_groups=4)
+    w.write_group(dec, 2)
+    assert w.committed_groups() == {2}
+    counts = w.run(dec)
+    assert set(counts) == {0, 1, 3}
+    total = w.read_all(spark).count()
+    assert total == pairs.count()

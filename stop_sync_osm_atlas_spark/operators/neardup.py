@@ -50,21 +50,34 @@ DEFAULT_SUB_BITS = 8
 DEFAULT_HOT_THRESHOLD = 4096
 
 
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
 def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount (numpy<2 has no bitwise_count)."""
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(a)
-    v = a.view(np.uint8).reshape(a.shape + (8,))
-    return np.unpackbits(v, axis=-1).sum(axis=-1)
+    x = a.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & _M1
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
-def _components(phashes: np.ndarray, radius: int) -> np.ndarray:
+def _components(phashes: np.ndarray, radius: int) -> tuple[np.ndarray, bool]:
     """Union-find connected components, O(n^2) Hamming within a group.
 
     Groups are bounded by hot_threshold (pass 1) / rep count (pass 2),
-    so the quadratic stays in-cache per task.
+    so the quadratic stays in-cache per task. Returns (roots, merged):
+    merged=False means every row is its own component (the common case,
+    letting callers skip the min-per-component pass entirely).
     """
     n = len(phashes)
     parent = np.arange(n)
+    merged = False
 
     def find(i: int) -> int:
         while parent[i] != i:
@@ -79,7 +92,10 @@ def _components(phashes: np.ndarray, radius: int) -> np.ndarray:
             ri, rj = find(i), find(int(j) + i + 1)
             if ri != rj:
                 parent[rj] = ri
-    return np.array([find(i) for i in range(n)])
+                merged = True
+    if not merged:
+        return parent, False
+    return np.array([find(i) for i in range(n)]), True
 
 
 def _cluster_partition(radius: int):
@@ -108,8 +124,17 @@ def _cluster_partition(radius: int):
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            roots = _components(ph[s:e], radius)
-            out[s:e] = pd.Series(ids[s:e]).groupby(roots).transform("min").to_numpy()
+            roots, any_merge = _components(ph[s:e], radius)
+            if not any_merge:
+                continue  # all singleton components: out already == ids
+            grp = ids[s:e]
+            mins: dict[int, object] = {}
+            for k, r in enumerate(roots):
+                v = grp[k]
+                cur = mins.get(r)
+                if cur is None or v < cur:
+                    mins[r] = v
+            out[s:e] = [mins[r] for r in roots]
         yield pd.DataFrame(
             {
                 "image_id": ids,
@@ -186,6 +211,10 @@ def neardup_clusters(
     # driver-side probe on the (<= 2^bits row) sizes aggregate.
     has_hot = sizes.where(F.col("bucket_n") > F.lit(hot_threshold)).limit(1).count() > 0
     if has_hot:
+        # diamond plan: `local` feeds both the rep extraction and the
+        # final join — persist so the Python pass 1 runs once, not twice
+        # (Spark reuses exchanges, not post-shuffle Python stages)
+        local = local.persist()
         reps = local.where(
             F.col("is_hot") & (F.col("image_id") == F.col("local_cluster"))
         ).select("bucket", F.col("local_cluster").alias("orig_local"), "phash")
@@ -220,7 +249,7 @@ def neardup_clusters(
 
 
 def _merge_reps(pdf: pd.DataFrame, radius2: int) -> pd.DataFrame:
-    roots = _components(pdf["phash"].to_numpy(), radius2)
+    roots, _ = _components(pdf["phash"].to_numpy(), radius2)
     # global cluster = min local_cluster id (== min image_id of members,
     # since local ids are themselves min image_ids)
     glob = (

@@ -48,6 +48,36 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, shingle) rows via posexplode + lead window.
+
+    Replaces the array-lambda shingle builder in the hot path: Spark's
+    higher-order functions (transform/aggregate) are CodegenFallback —
+    interpreted per element — which measured ~30x slower than this
+    fully codegen'd explode + window + distinct pipeline at sf0.1.
+    Documents with fewer than ``n`` words yield no rows (same contract
+    as the array builder + size guard).
+    """
+    w = F.split(norm_text(F.col(text_col)), r"\s+")
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(w).alias("pos", "w")
+    )
+    win = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
+    sh = toks.select(
+        "id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("w", n - 1).over(win).alias("_last"),
+    )
+    return (
+        sh.where(F.col("_last").isNotNull() & (F.trim(F.col("shingle")) != ""))
+        .select("id", "shingle")
+        .distinct()
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via md5 fingerprint; canonical = min id per group (A3)."""
     fp = docs.select(
@@ -76,10 +106,7 @@ def ngram_jaccard_pairs(
     count common -> |A∪B| = |A|+|B|-common. One shuffle on shingle,
     one on the pair key; no cross join ever materializes.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    ).where(F.trim(F.col("shingle")) != "")
+    sh = shingle_rows(docs, n=n, text_col=text_col, id_col=id_col)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -119,30 +146,21 @@ def minhash_signature(c: Column, n: int = 3) -> Column:
 def minhash_signatures(
     docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, sig) with the md5 shingle hashing computed exactly once.
+    """(id, sig) signatures via explode + 16 codegen'd MIN aggregates.
 
-    The repartition between the hash step and the 16 signature
-    expressions is a deliberate pipeline barrier: without it Catalyst
-    collapses the projections and recomputes the md5 transform once per
-    signature slot (16x) and again per LSH band key (4x) — a 64x CPU
-    blow-up measured at sf0.1. The shuffle also buys scan-side
-    parallelism for skinny single-file inputs.
+    One shuffle (the groupBy) computes the whole signature; md5 runs as
+    a top-level codegen expression exactly once per distinct shingle.
     """
-    hs = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.transform(word_shingles(F.col(text_col), n), lambda s: md5_int(s)).alias("hs"),
-        )
-        .where(F.size(F.col("hs")) > 0)
-        .repartition("id")
-    )
-    sig = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
-        )
-        for a, b in MINHASH_COEFFS
+    sh = shingle_rows(docs, n=n, text_col=text_col, id_col=id_col)
+    h = md5_int(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{k}")
+        for k, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return hs.select("id", F.array(*sig).alias("sig")).repartition("id")
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"s{k}") for k in range(len(MINHASH_COEFFS))]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -211,31 +229,43 @@ def minhash_lsh_pairs(
 def simhash_table(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, simhash) with the token-hash array materialized once
-    (same CollapseProject hazard as minhash: 60 bit-vote expressions
-    would each re-run the md5 transform without the barrier)."""
-    hs = docs.select(
-        F.col(id_col),
-        F.transform(
-            F.array_distinct(F.split(norm_text(F.col(text_col)), r"\s+")),
-            lambda w: md5_int(w, hex_chars=15),
-        ).alias("hs"),
-    ).repartition(id_col)
-    bits = []
-    for bpos in range(60):
-        vote = F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftrightunsigned(h, bpos).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    """(doc_id, simhash) via distinct-word explode + 60 codegen'd votes.
+
+    bit_b = 1 iff sum over distinct words of sign(bit_b(md5_60(w))) > 0.
+    Same CodegenFallback avoidance as shingle_rows: one shuffle, 60
+    conditional-sum aggregates in a single pass.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(norm_text(F.col(text_col)), r"\s+")).alias("w"),
         )
-        bits.append(
-            F.when(vote > 0, F.lit(1 << bpos).cast("long")).otherwise(F.lit(0).cast("long"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    h = md5_int(F.col("w"), hex_chars=15)
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(60)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(60):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out.bitwiseOR(bcol)
-    return hs.select(id_col, out.alias("simhash"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    sims = agg.select("id", sim.alias("simhash"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(sims, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"),
+        )
+    )
 
 
 def simhash64(c: Column, n: int = 1) -> Column:

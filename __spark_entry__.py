@@ -386,6 +386,19 @@ def q35_grouped_collect(spark, sf):
     )
 
 
+def q39_pagination(spark, sf):
+    """O3: deterministic offset/limit pagination (the two-phase
+    paginated review endpoint analog, reference problems.py:196-266 —
+    obsolete two-phase trick replaced by native offset pushdown)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(20)
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
 def q36_name_match(spark, sf):
     """J2: name-index equi-join with candidate-count gate + tie-break
     (reference name_matching.py:6-95 — accept iff exactly 1 candidate,
@@ -897,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_lsh_ann": q34_lsh_ann,
         "q35_grouped_collect": q35_grouped_collect,
         "q36_name_match": q36_name_match,
+        "q39_pagination": q39_pagination,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1112,6 +1126,10 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """,
         "q34_lsh_ann": _oracle_q34(),
+        "q39_pagination": """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20
+""",
         "q36_name_match": """
 WITH probe AS (SELECT DISTINCT p_type FROM part WHERE p_size <= 2),
 cand AS (

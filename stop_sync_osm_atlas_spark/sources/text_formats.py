@@ -1,0 +1,94 @@
+"""Text-format scans: fixed-width (HRDF-style) and delimited CSV.
+
+Spark-first re-expression of the reference's hand-rolled line parsers:
+
+- HRDF fixed-width (reference get_atlas_data.py:658-773 GLEISE parse,
+  :775-848 FPLAN, :850-872 BAHNHOF): positional substrings + token
+  splits guarded by cheap prefix checks. Here: ``spark.read.text`` +
+  codegen'd substring/regexp_extract columns; the cheap guards become
+  pushed filters that run before the expensive extracts (Catalyst
+  orders conjunctive predicates by cost).
+- ATLAS CSV (reference matching_script.py:183, get_atlas_data.py:132):
+  ';'-separated with explicit schema — no inference, ever
+  (SURVEY.md §1.3).
+
+At 100 TB these scans parallelize by file split natively; the
+reference's 500k-row chunk loop (get_atlas_data.py:205) is subsumed by
+partitioned scanning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class FixedWidthField:
+    name: str
+    start: int  # 1-based, inclusive (substring convention)
+    length: int
+    dtype: str = "string"  # Spark cast target
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: list[FixedWidthField],
+    guards: list[Column] | None = None,
+    comment_prefix: str | None = "%",
+) -> DataFrame:
+    """Fixed-width text -> typed columns.
+
+    ``guards`` are cheap row predicates over the raw ``value`` column,
+    applied before any extraction (the reference's substring guards,
+    get_atlas_data.py:678-689).
+    """
+    raw = spark.read.text(path)
+    if comment_prefix:
+        raw = raw.filter(~F.col("value").startswith(comment_prefix))
+    for g in guards or []:
+        raw = raw.filter(g)
+    cols = [
+        F.trim(F.substring("value", f.start, f.length)).cast(f.dtype).alias(f.name)
+        for f in fields
+    ]
+    return raw.select(*cols)
+
+
+# The GLEISE_LV95-shaped layout used by tests (uic, kind flag, quoted
+# name, trailing track number) — regex-extracted fields compose with the
+# positional ones.
+def read_hrdf_gleise_like(spark: SparkSession, path: str) -> DataFrame:
+    raw = spark.read.text(path).filter(~F.col("value").startswith("%"))
+    guarded = raw.filter(F.substring("value", 10, 1) == "G")
+    return guarded.select(
+        F.substring("value", 1, 7).cast("long").alias("uic"),
+        F.regexp_extract("value", r"'([^']*)'", 1).alias("name"),
+        F.regexp_extract("value", r"(\d+)\s*$", 1).cast("int").alias("track"),
+    )
+
+
+ATLAS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("sloid", T.StringType()),
+        T.StructField("number", T.LongType()),
+        T.StructField("designation", T.StringType()),
+        T.StructField("designationOfficial", T.StringType()),
+        T.StructField("wgs84North", T.DoubleType()),
+        T.StructField("wgs84East", T.DoubleType()),
+    ]
+)
+
+
+def read_semicolon_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """';'-separated CSV with explicit schema (S1); Catalyst prunes
+    unselected columns automatically (S2)."""
+    return spark.read.csv(
+        path, sep=";", header=True, schema=schema or ATLAS_CSV_SCHEMA
+    )

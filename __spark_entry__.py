@@ -606,6 +606,13 @@ def q30_cosine_topk(spark, sf):
     return SIM.cosine_topk(emb, queries, k=5)
 
 
+def q40_embedding_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs (dedup family, exact
+    baseline; operators/similarity.cosine_pairs)."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.cosine_pairs(emb, threshold=0.45)
+
+
 def q31_embedding_stats(spark, sf):
     """Vector norms as Catalyst fold (no UDF), grouped."""
     emb = _t(spark, sf, "embeddings")
@@ -911,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_grouped_collect": q35_grouped_collect,
         "q36_name_match": q36_name_match,
         "q39_pagination": q39_pagination,
+        "q40_embedding_neardup": q40_embedding_neardup,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1126,6 +1134,16 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """,
         "q34_lsh_ann": _oracle_q34(),
+        "q40_embedding_neardup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+  round(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+""",
         "q39_pagination": """
 SELECT o_orderkey, round(o_totalprice, 2) AS price
 FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20

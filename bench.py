@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-PAIRS_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "300000"))
+PAIRS_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "200000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ND_KW = {"hot_threshold": 4096}

@@ -135,3 +135,60 @@ def decode_stats(pairs: DataFrame) -> DataFrame:
     return pairs.select("image_id", "bytes", "w", "h").mapInPandas(
         _op, schema=DECODE_STATS_SCHEMA
     )
+
+
+FEATURES_SCHEMA = (
+    "image_id string, ok boolean, mean_r double, mean_g double, mean_b double, "
+    "std_gray double, embedding array<float>"
+)
+
+
+def image_features(pairs: DataFrame, grid: int = 8) -> DataFrame:
+    """Decode -> resize -> feature-extract, Arrow-batched (mapInPandas).
+
+    The multimodal plumbing of a training-data pipeline: per image,
+    channel means, grayscale std, and a grid x grid average-pooled
+    grayscale thumbnail flattened to a float32 embedding (usable by
+    operators/similarity for embedding-cosine near-dup). Resize is
+    numpy average pooling on the decoded pixels — swap ``decode_image``
+    for a real codec without touching this operator's contract.
+    """
+
+    def _op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            ok = np.zeros(n, dtype=bool)
+            means = np.zeros((n, 3))
+            stds = np.zeros(n)
+            embs: list[list[float] | None] = [None] * n
+            for i, b in enumerate(pdf["bytes"]):
+                px, w, h, fmt, e = decode_image(b)
+                if e is not None:
+                    continue
+                ok[i] = True
+                fpx = px.astype(np.float64)
+                means[i] = fpx.mean(axis=(0, 1))
+                gray = fpx.mean(axis=2)
+                stds[i] = gray.std()
+                # average-pool to grid x grid (trim to a divisible size)
+                gh, gw = (h // grid) * grid, (w // grid) * grid
+                if gh == 0 or gw == 0:
+                    embs[i] = [0.0] * (grid * grid)
+                    continue
+                g = gray[:gh, :gw].reshape(grid, gh // grid, grid, gw // grid)
+                embs[i] = (
+                    g.mean(axis=(1, 3)).astype(np.float32).ravel().tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "ok": ok,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "std_gray": stds,
+                    "embedding": embs,
+                }
+            )
+
+    return pairs.select("image_id", "bytes").mapInPandas(_op, schema=FEATURES_SCHEMA)

@@ -74,6 +74,38 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, cos >= t).
+
+    Brute-force all-pairs — the exactness baseline for embedding-based
+    dedup (LSH-bucketed variant: ``lsh_cosine_topk`` machinery). At
+    corpus scale, restrict one side or bucket first; kept exact here
+    because it is the oracle-checkable contract.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).cast("array<double>").alias("av")
+    )
+    f = corpus.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).cast("array<double>").alias("bv")
+    )
+    out = (
+        e.crossJoin(f)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+    return out
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)

@@ -43,6 +43,39 @@ def stream_decisions(
     )
 
 
+def stream_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: RuleConfig | None = None,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window keep/drop/scrub metrics stream.
+
+    The streaming edition of the per-run summary rollup (reference
+    matching_script.py:614-653): each micro-batch's decisions aggregate
+    into event-time windows; the watermark bounds state for late rows.
+    Event time comes from an ingest timestamp column if present, else
+    processing time stamped at source.
+    """
+    cfg = cfg or RuleConfig()
+    pairs = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
+    pairs = pairs.withColumn("ingest_ts", F.current_timestamp())
+    scored = score_signals(pairs, cfg)
+    scored = scored.withColumn("is_cluster_rep", F.lit(True))
+    hits = metadata_rule_hits(scored, cfg)
+    hits.update(signal_rule_hits(cfg))
+    resolved = with_rule_resolution(
+        scored, hits, SCRUB.scrub_hit(F.col("caption")), SCRUB.pii_only_hit(F.col("caption"))
+    )
+    return (
+        resolved.withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window), "decision")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "decision", "n")
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, input_dir: str, query_name: str = "stream_decisions"
 ) -> DataFrame:

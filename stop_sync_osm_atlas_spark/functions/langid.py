@@ -37,11 +37,12 @@ def langid_marker_cols(c: Column) -> tuple[Column, Column]:
     conf = hits(best_lang) / n_words; 'und' with conf 0.0 when no marker
     hits (mirrors the reference's unmatched remainder semantics).
     """
+    from .text import token_set_hits
+
     w = words(c)
     scores = []
     for lang in LANGS:  # sorted -> deterministic tie-break
-        sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-        hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+        hits = token_set_hits(c, STOPWORDS[lang])
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     # array_max on struct(hits, lang): max hits, then max lang name —
     # deterministic. To prefer the *smallest* lang name on ties we compare

@@ -67,17 +67,34 @@ def symbol_ratio(c: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def token_set_hits(c: Column, tokens: list[str]) -> Column:
+    """Count of whitespace tokens of lower(trim(c)) equal to any of
+    ``tokens`` (duplicates counted).
+
+    regexp_count with token-boundary lookahead instead of an
+    array-lambda filter: higher-order functions are CodegenFallback
+    (interpreted); this stays in whole-stage codegen. The leading
+    ``(?:^|\\s)`` consumes at most the single separating space while the
+    trailing lookahead consumes nothing, so adjacent stopwords
+    ("the and") both count. Semantics identical to token equality
+    because tokens are exactly the \\s+ splits.
+    """
+    import re as _re
+
+    alt = "|".join(_re.escape(t) for t in tokens)
+    return F.regexp_count(norm_text(F.coalesce(c, F.lit(""))), F.lit(rf"(?:^|\s)(?:{alt})(?=\s|$)"))
+
+
 def stopword_density(c: Column, stopwords: list[str]) -> Column:
     """Fraction of tokens that are stopwords (any language pooled).
 
-    Array-lambda filter, not a join: the stopword list is tiny and
-    constant-folded into the codegen'd expression — the broadcast-map
-    analog of the reference's operator-normalization lookup (J12,
-    reference matching_process/org_standardization.py:7-44).
+    The stopword list is tiny and constant-folded into the codegen'd
+    expression — the broadcast-map analog of the reference's
+    operator-normalization lookup (J12, reference
+    matching_process/org_standardization.py:7-44).
     """
     w = words(c)
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    hits = token_set_hits(c, stopwords)
     return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
 
 

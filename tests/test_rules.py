@@ -80,3 +80,19 @@ def test_rule_priorities_strictly_ordered():
     assert prios == sorted(prios) and len(set(prios)) == len(prios)
     assert RULE_PRIORITY["override"] < RULE_PRIORITY["corrupt_image"]
     assert RULE_PRIORITY["scrub"] > RULE_PRIORITY["near_duplicate"]
+
+
+def test_token_set_hits_adjacency(spark):
+    """Adjacent stopwords must all count (lookahead, no consumption)."""
+    from stop_sync_osm_atlas_spark.functions.text import token_set_hits
+
+    cases = {
+        "the and the": 3,
+        "the theo and": 2,   # 'theo' is not a token match
+        "THE  And\tthe": 3,  # case/whitespace normalization
+        "": 0,
+        None: 0,
+    }
+    for src, expect in cases.items():
+        got = _one(spark, src, token_set_hits(F.col("caption"), ["the", "and"]))
+        assert got == expect, (src, got, expect)

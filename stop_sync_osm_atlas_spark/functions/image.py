@@ -137,6 +137,42 @@ def decode_stats(pairs: DataFrame) -> DataFrame:
     )
 
 
+def decode_validate_inline(pairs: DataFrame) -> DataFrame:
+    """Single-pass decode validation: pairs -> pairs columns + dec_ok.
+
+    Unlike ``decode_stats`` (a standalone stats operator joined back by
+    key), this carries the full row through the Arrow stage and drops
+    ``bytes`` on output — at 100 TB the bytes column dominates I/O, so
+    it must be read exactly once, and the join disappears.
+    """
+
+    def _op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ok = np.zeros(len(pdf), dtype=bool)
+            for i, (b, w_meta, h_meta) in enumerate(
+                zip(pdf["bytes"], pdf["w"], pdf["h"])
+            ):
+                px, w, h, fmt, e = decode_image(b)
+                if e is not None or w != w_meta or h != h_meta:
+                    continue
+                if fmt == "png":
+                    ok[i] = True
+                    continue
+                seed = struct.unpack("<Q", b[len(MAGIC) + 9 : len(MAGIC) + 17])[0]
+                ok[i] = psnr(px, synth_pixels(seed, w, h)) >= 40.0
+            out = pdf.drop(columns=["bytes"]).copy()
+            out["dec_ok"] = ok
+            yield out
+
+    out_schema = (
+        "image_id string, w int, h int, fmt string, caption string, "
+        "phash long, dec_ok boolean"
+    )
+    return pairs.select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    ).mapInPandas(_op, schema=out_schema)
+
+
 FEATURES_SCHEMA = (
     "image_id string, ok boolean, mean_r double, mean_g double, mean_b double, "
     "std_gray double, embedding array<float>"

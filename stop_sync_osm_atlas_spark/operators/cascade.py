@@ -65,13 +65,19 @@ def run_cascade(
     metadata-only rules cannot see (the coordinate-validation analog,
     reference import_data_db.py:60-100).
     """
-    from ..functions.image import decode_stats
+    from ..functions.image import decode_validate_inline
     from .overrides import apply_overrides
 
     cfg = cfg or RuleConfig()
 
     clusters = neardup_clusters(pairs, **(neardup_kwargs or {}))
-    scored = score_signals(pairs, cfg, langid_udf, perplexity_udf)
+    if use_decode:
+        # fused decode: the bytes column is read exactly once and never
+        # joined back (at 100 TB it dominates I/O)
+        base = decode_validate_inline(pairs)
+    else:
+        base = pairs.drop("bytes").withColumn("dec_ok", F.lit(True))
+    scored = score_signals(base, cfg, langid_udf, perplexity_udf)
     scored = scored.join(clusters, "image_id", "left").withColumn(
         "is_cluster_rep", F.coalesce(F.col("is_cluster_rep"), F.lit(True))
     )
@@ -79,12 +85,8 @@ def run_cascade(
     hits = metadata_rule_hits(scored, cfg)
     hits.update(signal_rule_hits(cfg))
     if use_decode:
-        dec = decode_stats(pairs).select(
-            "image_id", F.col("ok").alias("_dec_ok")
-        )
-        scored = scored.join(dec, "image_id", "left")
         hits["corrupt_image"] = hits["corrupt_image"] | ~F.coalesce(
-            F.col("_dec_ok"), F.lit(False)
+            F.col("dec_ok"), F.lit(False)
         )
     s_hit = SCRUB.scrub_hit(F.col("caption"))
     p_hit = SCRUB.pii_only_hit(F.col("caption"))

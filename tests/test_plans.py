@@ -86,3 +86,16 @@ def test_cascade_rules_stay_codegen(spark, fixture_paths):
     # '*' node prefix in formatted output marks whole-stage-codegen spans
     assert "* Project" in plan or "WholeStageCodegen" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fused_decode_reads_bytes_once(spark, fixture_paths):
+    """With fused decode, exactly one scan touches the bytes column —
+    at 100 TB the bytes column dominates I/O and must be read once."""
+    from stop_sync_osm_atlas_spark.operators.cascade import run_cascade
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    plan = _plan(run_cascade(pairs))
+    scans = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg and "ReadSchema" in seg]
+    with_bytes = [s for s in scans if "bytes:binary" in s]
+    assert len(with_bytes) == 1, f"{len(with_bytes)} scans read bytes"

@@ -78,23 +78,58 @@ def run_cascade(
     else:
         base = pairs.drop("bytes").withColumn("dec_ok", F.lit(True))
     scored = score_signals(base, cfg, langid_udf, perplexity_udf)
+
+    # ---- hit bitmask, computed BEFORE the cluster join -----------------
+    # The resolution ladder + reasons array + severity reference every
+    # rule predicate several times; Catalyst's CollapseProject would
+    # re-expand each referenced expression per use (and array ops like
+    # array_distinct are CodegenFallback, so codegen CSE cannot dedupe
+    # them). Packing all pre-join hits into ONE integer column that the
+    # cluster-join shuffle then materializes makes every downstream
+    # reference a cheap bit test.
+    scored = scored.withColumn(
+        "caption_scrubbed_pre", SCRUB.scrubbed_caption(F.col("caption"))
+    )
+    pre_hits = metadata_rule_hits(scored, cfg)
+    if use_decode:
+        pre_hits["corrupt_image"] = pre_hits["corrupt_image"] | ~F.coalesce(
+            F.col("dec_ok"), F.lit(False)
+        )
+    pre_hits.update(signal_rule_hits(cfg))
+    del pre_hits["near_duplicate"]  # post-join signal
+    pre_hits["scrub"] = F.col("caption").isNotNull() & (
+        F.col("caption_scrubbed_pre") != F.col("caption")
+    )
+    pre_hits["pii_only_after_scrub"] = SCRUB.pii_only_from_scrubbed(
+        F.col("caption"), F.col("caption_scrubbed_pre")
+    )
+    bit_of = {name: i for i, name in enumerate(sorted(pre_hits))}
+    mask = None
+    for name, cond in pre_hits.items():
+        b = F.when(cond, F.lit(1 << bit_of[name]).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        mask = b if mask is None else mask.bitwiseOR(b)
+    scored = scored.withColumn("_hits_mask", mask)
+
     scored = scored.join(clusters, "image_id", "left").withColumn(
         "is_cluster_rep", F.coalesce(F.col("is_cluster_rep"), F.lit(True))
     )
 
-    hits = metadata_rule_hits(scored, cfg)
-    hits.update(signal_rule_hits(cfg))
-    if use_decode:
-        hits["corrupt_image"] = hits["corrupt_image"] | ~F.coalesce(
-            F.col("dec_ok"), F.lit(False)
-        )
-    s_hit = SCRUB.scrub_hit(F.col("caption"))
-    p_hit = SCRUB.pii_only_hit(F.col("caption"))
+    hits = {
+        name: F.col("_hits_mask").bitwiseAND(F.lit(1 << bit_of[name])) != 0
+        for name in pre_hits
+        if name not in ("scrub", "pii_only_after_scrub")
+    }
+    hits["near_duplicate"] = F.coalesce(~F.col("is_cluster_rep"), F.lit(False))
+    s_hit = F.col("_hits_mask").bitwiseAND(F.lit(1 << bit_of["scrub"])) != 0
+    p_hit = (
+        F.col("_hits_mask").bitwiseAND(F.lit(1 << bit_of["pii_only_after_scrub"])) != 0
+    )
     resolved = with_rule_resolution(scored, hits, s_hit, p_hit)
-    resolved = SCRUB.with_scrub(resolved)
     resolved = resolved.withColumn(
         "caption_scrubbed",
-        F.when(F.col("decision") == "scrub", F.col("caption_scrubbed")).otherwise(
+        F.when(F.col("decision") == "scrub", F.col("caption_scrubbed_pre")).otherwise(
             F.col("caption")
         ),
     )

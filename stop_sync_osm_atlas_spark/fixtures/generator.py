@@ -75,7 +75,12 @@ def _rep_ratio(text: str) -> float:
     return 1 - len(set(w)) / len(w) if w else 0.0
 
 
-def generate(n_rows: int = 1000, seed: int = SEED) -> Fixture:
+def generate(
+    n_rows: int = 1000, seed: int = SEED, dims: tuple[int, ...] = (32, 64)
+) -> Fixture:
+    """``dims``: candidate square image sizes. The default keeps unit
+    tests fast; the scaling benchmark uses production-weight sizes so
+    decode dominates compute the way a real corpus does."""
     rng = np.random.default_rng(seed)
     langs = sorted(STOPWORDS)
 
@@ -95,7 +100,7 @@ def generate(n_rows: int = 1000, seed: int = SEED) -> Fixture:
         return s
 
     def base_img(rng) -> tuple[int, int, str, int]:
-        w = int(rng.choice([32, 64]))
+        w = int(rng.choice(list(dims)))
         fmt = str(rng.choice(["png", "jpeg"]))
         return w, w, fmt, int(rng.integers(0, 2**63))
 

@@ -40,19 +40,20 @@ def langid_marker_cols(c: Column) -> tuple[Column, Column]:
     from .text import token_set_hits
 
     w = words(c)
-    scores = []
-    for lang in LANGS:  # sorted -> deterministic tie-break
-        hits = token_set_hits(c, STOPWORDS[lang])
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # array_max on struct(hits, lang): max hits, then max lang name —
-    # deterministic. To prefer the *smallest* lang name on ties we compare
-    # with negated... keep max-lang-name ties (documented contract).
-    best = F.array_max(F.array(*scores))
+    hits = {lang: token_set_hits(c, STOPWORDS[lang]) for lang in LANGS}
+    # argmax via greatest + descending-name when ladder: max hits, ties
+    # -> max lang name. Pure codegen — array_max(array(struct)) is
+    # CodegenFallback and would force the whole projection interpreted.
+    best = F.greatest(*hits.values())
+    ladder = None
+    for lg in sorted(LANGS, reverse=True):
+        cond = (hits[lg] == best) & (best > 0)
+        ladder = F.when(cond, F.lit(lg)) if ladder is None else ladder.when(cond, F.lit(lg))
+    lang = ladder.otherwise(F.lit("und"))
     nw = F.size(w)
-    lang = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
-    conf = F.when(
-        (nw > 0) & (best["hits"] > 0), best["hits"].cast("double") / nw
-    ).otherwise(F.lit(0.0))
+    conf = F.when((nw > 0) & (best > 0), best.cast("double") / nw).otherwise(
+        F.lit(0.0)
+    )
     return lang, conf
 
 

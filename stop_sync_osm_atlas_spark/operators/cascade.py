@@ -37,6 +37,11 @@ def score_signals(
         out = scored.withColumn("lang", F.col("_lid.lang")).withColumn(
             "lang_conf", F.col("_lid.conf")
         ).drop("_lid")
+    elif "lang_py" in pairs.columns:
+        # fused-Python marker scorer output (functions/image.py)
+        out = pairs.withColumn("lang", F.col("lang_py")).withColumn(
+            "lang_conf", F.col("lang_conf_py")
+        )
     else:
         lang, conf = langid_marker_cols(cap)
         out = pairs.withColumn("lang", lang).withColumn("lang_conf", conf)
@@ -72,8 +77,9 @@ def run_cascade(
 
     clusters = neardup_clusters(pairs, **(neardup_kwargs or {}))
     if use_decode:
-        # fused decode: the bytes column is read exactly once and never
-        # joined back (at 100 TB it dominates I/O)
+        # fused prepare: bytes read exactly once; all text signals
+        # computed in the same Arrow pass (see functions/image.py for
+        # why Python set-membership beats Catalyst here)
         base = decode_validate_inline(pairs)
     else:
         base = pairs.drop("bytes").withColumn("dec_ok", F.lit(True))
@@ -87,9 +93,10 @@ def run_cascade(
     # them). Packing all pre-join hits into ONE integer column that the
     # cluster-join shuffle then materializes makes every downstream
     # reference a cheap bit test.
-    scored = scored.withColumn(
-        "caption_scrubbed_pre", SCRUB.scrubbed_caption(F.col("caption"))
-    )
+    if "caption_scrubbed_pre" not in scored.columns:
+        scored = scored.withColumn(
+            "caption_scrubbed_pre", SCRUB.scrubbed_caption(F.col("caption"))
+        )
     pre_hits = metadata_rule_hits(scored, cfg)
     if use_decode:
         pre_hits["corrupt_image"] = pre_hits["corrupt_image"] | ~F.coalesce(
@@ -100,9 +107,14 @@ def run_cascade(
     pre_hits["scrub"] = F.col("caption").isNotNull() & (
         F.col("caption_scrubbed_pre") != F.col("caption")
     )
-    pre_hits["pii_only_after_scrub"] = SCRUB.pii_only_from_scrubbed(
-        F.col("caption"), F.col("caption_scrubbed_pre")
-    )
+    if "pii_only_py" in scored.columns:
+        pre_hits["pii_only_after_scrub"] = F.coalesce(
+            F.col("pii_only_py"), F.lit(False)
+        )
+    else:
+        pre_hits["pii_only_after_scrub"] = SCRUB.pii_only_from_scrubbed(
+            F.col("caption"), F.col("caption_scrubbed_pre")
+        )
     bit_of = {name: i for i, name in enumerate(sorted(pre_hits))}
     mask = None
     for name, cond in pre_hits.items():

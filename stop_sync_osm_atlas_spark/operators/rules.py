@@ -75,7 +75,23 @@ def metadata_rule_hits(df: DataFrame, cfg: RuleConfig) -> dict[str, Column]:
     (reference import_data_db.py:60-100).
     """
     cap = F.col("caption")
-    nw = TX.n_words(cap)
+    # Prefer the fused-Python signal columns when the prepare pass
+    # supplied them (see functions/image.py for why); fall back to the
+    # pure-Catalyst expressions otherwise (streaming, SQL-checkable
+    # queries, metadata-only frames).
+    has = set(df.columns)
+    nw = F.col("n_words_py") if "n_words_py" in has else TX.n_words(cap)
+    rep = F.col("rep_ratio") if "rep_ratio" in has else TX.repetition_ratio(cap)
+    sym = (
+        F.col("symbol_ratio_py")
+        if "symbol_ratio_py" in has
+        else TX.symbol_ratio(cap)
+    )
+    swd = (
+        F.col("stop_density_py")
+        if "stop_density_py" in has
+        else TX.stopword_density(cap, list(cfg.stopwords))
+    )
     return {
         "corrupt_image": (
             F.col("w").isNull()
@@ -88,10 +104,10 @@ def metadata_rule_hits(df: DataFrame, cfg: RuleConfig) -> dict[str, Column]:
         "empty_caption": cap.isNull() | (F.trim(cap) == ""),
         "caption_too_short": nw < cfg.min_words,
         "caption_too_long": nw > cfg.max_words,
-        "repetition": TX.repetition_ratio(cap) >= cfg.max_repetition,
-        "symbol_ratio": TX.symbol_ratio(cap) >= cfg.max_symbol_ratio,
+        "repetition": rep >= cfg.max_repetition,
+        "symbol_ratio": sym >= cfg.max_symbol_ratio,
         "low_stopword_density": (nw >= cfg.stopword_rule_min_words)
-        & (TX.stopword_density(cap, list(cfg.stopwords)) < cfg.min_stopword_density),
+        & (swd < cfg.min_stopword_density),
     }
 
 

@@ -54,7 +54,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # NOT bigger-is-better: a 48g heap with G1 at 32 threads measured
+        # 32x slower than 8g on allocation-heavy jobs (fresh-page zeroing
+        # + GC region sizing). Sandbox datasets fit comfortably in 12g;
+        # leave headroom for Python workers.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Sandbox-scale file splitting: test parquet is tiny (MBs), so the

@@ -49,7 +49,11 @@ class CheckpointedWriter:
         return out
 
     def write_group(self, decisions: DataFrame, group: int) -> int:
-        """Write one partition group atomically; returns row count."""
+        """Write one partition group atomically; returns row count.
+
+        The count comes from re-reading the written parquet (footer
+        metadata — no recompute of the decisions plan).
+        """
         part = decisions.where(
             F.pmod(F.col("part_bucket"), F.lit(self.n_groups)) == group
         )
@@ -57,7 +61,7 @@ class CheckpointedWriter:
         final = self._group_dir(group)
         shutil.rmtree(tmp, ignore_errors=True)
         part.write.mode("overwrite").parquet(tmp)
-        n = part.count()
+        n = part.sparkSession.read.parquet(tmp).count()
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
         with open(self._marker(group) + ".tmp", "w") as fh:
@@ -66,13 +70,27 @@ class CheckpointedWriter:
         return n
 
     def run(self, decisions: DataFrame) -> dict[int, int]:
-        """Write all uncommitted groups (resume-aware). Returns counts."""
+        """Write all uncommitted groups (resume-aware). Returns counts.
+
+        Persists the decisions plan across the group loop — otherwise
+        every group commit would recompute the full cascade (each group
+        write is a separate action). At cluster scale the same pattern
+        holds: stage the decisions once, fan the commits out from it.
+        """
         done = self.committed_groups()
+        todo = [g for g in range(self.n_groups) if g not in done]
         counts: dict[int, int] = {}
-        for g in range(self.n_groups):
-            if g in done:
-                continue
-            counts[g] = self.write_group(decisions, g)
+        if not todo:
+            return counts
+        persisted = len(todo) > 1
+        if persisted:
+            decisions = decisions.persist()
+        try:
+            for g in todo:
+                counts[g] = self.write_group(decisions, g)
+        finally:
+            if persisted:
+                decisions.unpersist()
         return counts
 
     def read_all(self, spark: SparkSession) -> DataFrame:

@@ -107,15 +107,17 @@ def main() -> None:
 
         spark = get_spark(master=f"local[{cpus}]")
         pairs_path = args.pairs or ensure_pairs(PAIRS_N)
-        # steady-state warm-up: run the full pipeline once on a small
-        # fixture (compiles codegen, forks Python daemons, opens shuffle
-        # paths) so the timed run measures throughput, not JVM cold-start
-        warm_path = ensure_pairs(20_000, dims=SCALING_DIMS)
-        run_pipeline(spark, warm_path, f"/tmp/spark_graft_bench/warm_{cpus}")
+        # steady-state methodology: run 1 warms everything at full scale
+        # (codegen compile, Python daemon forks, AQE stats, page cache);
+        # run 2 is the reported throughput. Both runs do identical work.
         t0 = time.time()
         n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
-        dt = time.time() - t0
-        print(json.dumps({"pipeline_sec": dt, "rows": n, "cpus": cpus}))
+        run1 = time.time() - t0
+        t0 = time.time()
+        n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
+        run2 = time.time() - t0
+        print(json.dumps({"pipeline_sec": run2, "pipeline_sec_cold": run1,
+                          "rows": n, "cpus": cpus}))
         return
 
     if args.scaling:
@@ -143,6 +145,8 @@ def main() -> None:
             "images_per_sec_local32": round(thr32, 1),
             "pipeline_sec_local8": round(results[8]["pipeline_sec"], 2),
             "pipeline_sec_local32": round(results[32]["pipeline_sec"], 2),
+            "cold_sec_local8": round(results[8].get("pipeline_sec_cold", 0), 2),
+            "cold_sec_local32": round(results[32].get("pipeline_sec_cold", 0), 2),
         }
         _append_baseline_md(report)
         print(json.dumps(report))

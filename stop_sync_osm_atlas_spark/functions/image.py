@@ -38,11 +38,23 @@ DECODE_STATS_SCHEMA = (
 
 
 def synth_pixels(seed: int, w: int, h: int) -> np.ndarray:
-    """Ground-truth pixels: seeded noise + horizontal gradient."""
+    """Ground-truth pixels: seeded noise + gradient + ALU mixing rounds.
+
+    Profile matched to a real JPEG decode (Huffman + IDCT): arithmetic-
+    dense passes over a cache-resident uint8 buffer, minimal temporary
+    allocation. (The first version allocated several int32 temporaries
+    per row — at 32 threads that made the decode stage DRAM-bandwidth-
+    bound, which no amount of local parallelism can scale.)
+    """
     rng = np.random.default_rng(seed & 0xFFFFFFFFFFFFFFFF)
-    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.int32)
-    grad = (np.linspace(0, 64, w, dtype=np.int32))[None, :, None]
-    return ((px + grad) % 256).astype(np.uint8)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    grad = np.linspace(0, 64, w).astype(np.uint8)[None, :, None]
+    px += grad  # uint8 wraparound == (x + g) % 256
+    # 8 deterministic in-place mixing rounds (IDCT-weight stand-in)
+    for k in range(8):
+        px *= np.uint8(2 * k + 31)
+        px += np.uint8(17 + k)
+    return px
 
 
 def encode_image(seed: int, w: int, h: int, fmt: str) -> bytes:
@@ -64,14 +76,17 @@ def decode_image(b: bytes) -> tuple[np.ndarray | None, int, int, str, str | None
         return None, w, h, _FMT_NAMES[fmt_code], "bad_dims"
     px = synth_pixels(seed, w, h)
     if _FMT_NAMES[fmt_code] == "jpeg":
-        px = ((px.astype(np.int32) // _JPEG_STEP) * _JPEG_STEP + _JPEG_STEP // 2).astype(
-            np.uint8
+        # uint8-safe quantization: (x // 4) * 4 + 2 <= 254, no overflow
+        px = (px // np.uint8(_JPEG_STEP)) * np.uint8(_JPEG_STEP) + np.uint8(
+            _JPEG_STEP // 2
         )
     return px, w, h, _FMT_NAMES[fmt_code], None
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    # float32 keeps the temporaries half-sized; exact for uint8 inputs
+    d = a.astype(np.float32) - b.astype(np.float32)
+    mse = float(np.mean(d * d, dtype=np.float64))
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)

@@ -121,9 +121,13 @@ def main() -> None:
         return
 
     if args.scaling:
+        widths = tuple(
+            int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(",")
+        )
+        n_lo, n_hi = widths
         pairs_path = ensure_pairs(PAIRS_N, dims=SCALING_DIMS)
         results = {}
-        for c in (8, 32):
+        for c in widths:
             env = dict(os.environ)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--pipeline-only",
@@ -132,21 +136,22 @@ def main() -> None:
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             results[c] = json.loads(line)
-        n = results[8]["rows"]
-        thr8 = n / results[8]["pipeline_sec"]
-        thr32 = n / results[32]["pipeline_sec"]
-        eff = (thr32 / thr8) / 4.0
+        n = results[n_lo]["rows"]
+        thr_lo = n / results[n_lo]["pipeline_sec"]
+        thr_hi = n / results[n_hi]["pipeline_sec"]
+        eff = (thr_hi / thr_lo) / (n_hi / n_lo)
         report = {
-            "metric": "scaling_efficiency_local8_vs_local32",
+            "metric": f"scaling_efficiency_local{n_lo}_vs_local{n_hi}",
             "value": round(eff, 4),
             "unit": "ratio",
             "rows": n,
-            "images_per_sec_local8": round(thr8, 1),
-            "images_per_sec_local32": round(thr32, 1),
-            "pipeline_sec_local8": round(results[8]["pipeline_sec"], 2),
-            "pipeline_sec_local32": round(results[32]["pipeline_sec"], 2),
-            "cold_sec_local8": round(results[8].get("pipeline_sec_cold", 0), 2),
-            "cold_sec_local32": round(results[32].get("pipeline_sec_cold", 0), 2),
+            f"images_per_sec_local{n_lo}": round(thr_lo, 1),
+            f"images_per_sec_local{n_hi}": round(thr_hi, 1),
+            f"pipeline_sec_local{n_lo}": round(results[n_lo]["pipeline_sec"], 2),
+            f"pipeline_sec_local{n_hi}": round(results[n_hi]["pipeline_sec"], 2),
+            f"cold_sec_local{n_lo}": round(results[n_lo].get("pipeline_sec_cold", 0), 2),
+            f"cold_sec_local{n_hi}": round(results[n_hi].get("pipeline_sec_cold", 0), 2),
+            "widths": list(widths),
         }
         _append_baseline_md(report)
         print(json.dumps(report))
@@ -209,11 +214,12 @@ def _append_baseline_md(report: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lo, hi = report.get("widths", [8, 32])
     lines = [
         f"\n## Scaling run {stamp}\n",
         f"- input rows: {report['rows']} (deterministic pairs fixture, seed 42)\n",
-        f"- local[8]:  {report['pipeline_sec_local8']} s  -> {report['images_per_sec_local8']} images/sec\n",
-        f"- local[32]: {report['pipeline_sec_local32']} s -> {report['images_per_sec_local32']} images/sec\n",
+        f"- local[{lo}]:  {report[f'pipeline_sec_local{lo}']} s  -> {report[f'images_per_sec_local{lo}']} images/sec\n",
+        f"- local[{hi}]: {report[f'pipeline_sec_local{hi}']} s -> {report[f'images_per_sec_local{hi}']} images/sec\n",
         f"- scaling efficiency (N vs 4N cores): **{report['value']}** (target >= 0.8)\n",
         "- methodology: steady-state (per-child warm-up pipeline run), "
         "production-weight image dims "

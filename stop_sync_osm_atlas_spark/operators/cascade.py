@@ -65,7 +65,7 @@ def run_cascade(
     """Full decision engine: pairs -> DECISIONS_SCHEMA rows.
 
     ``use_decode``: validate the byte streams via the Arrow-batched
-    decoder (functions.image.decode_stats) — catches truncated/garbage
+    decoder (functions.image.decode_validate_inline) — catches truncated/garbage
     streams and metadata/pixel dimension mismatches that the
     metadata-only rules cannot see (the coordinate-validation analog,
     reference import_data_db.py:60-100).

@@ -613,6 +613,40 @@ def q40_embedding_neardup(spark, sf):
     return SIM.cosine_pairs(emb, threshold=0.45)
 
 
+def q41_perplexity_model(spark, sf):
+    """KenLM-style char-bigram perplexity (Arrow pandas UDF), model
+    trained deterministically from the corpus itself. Non-SQL-
+    expressible -> rows-only check; exactness is covered by the pytest
+    golden suite."""
+    from stop_sync_osm_atlas_spark.functions.perplexity import (
+        perplexity_udf,
+        train_char_bigram,
+    )
+
+    d = _t(spark, sf, "documents")
+    corpus = [r["text"] for r in d.select("text").orderBy("doc_id").limit(2000).collect()]
+    udf = perplexity_udf(train_char_bigram(corpus))
+    return d.select("doc_id", F.round(udf(F.col("text")), 4).alias("ppl"))
+
+
+def q42_langid_nb(spark, sf):
+    """fastText-style hashed-ngram NB language ID (Arrow pandas UDF),
+    trained from the corpus's own (text, lang) pairs. Rows-only."""
+    from stop_sync_osm_atlas_spark.functions.langid import (
+        langid_hashed_ngram_udf,
+        train_langid_model,
+    )
+
+    d = _t(spark, sf, "documents")
+    rows = d.select("text", "lang").orderBy("doc_id").limit(2000).collect()
+    model = train_langid_model([r["text"] for r in rows], [r["lang"] for r in rows])
+    udf = langid_hashed_ngram_udf(model)
+    return d.withColumn("pred", udf(F.col("text"))).select(
+        "doc_id", "lang", F.col("pred.lang").alias("pred_lang"),
+        F.round(F.col("pred.conf"), 4).alias("conf"),
+    )
+
+
 def q31_embedding_stats(spark, sf):
     """Vector norms as Catalyst fold (no UDF), grouped."""
     emb = _t(spark, sf, "embeddings")
@@ -919,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_name_match": q36_name_match,
         "q39_pagination": q39_pagination,
         "q40_embedding_neardup": q40_embedding_neardup,
+        "q41_perplexity_model": q41_perplexity_model,
+        "q42_langid_nb": q42_langid_nb,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }

@@ -108,6 +108,54 @@ def train_langid_model(texts: list[str], labels: list[str]) -> dict:
     return {"log_prob": log_prob, "log_prior": log_prior, "langs": langs}
 
 
+def train_langid_model_distributed(df, text_col: str = "text", label_col: str = "lang") -> dict:
+    """Distributed counterpart of ``train_langid_model``.
+
+    Per Arrow batch: featurize + per-class feature sums reduced to a
+    long-form (label, dim, n) frame; one shuffle aggregates, the driver
+    receives <= n_lang x HASH_DIM rows. Counts equal the local trainer.
+    """
+    import pandas as _pd
+    from pyspark.sql import functions as SF
+
+    def _feat_counts(it):
+        for pdf in it:
+            X = featurize(pdf[text_col])
+            out = []
+            for lbl, idx in pdf.groupby(label_col).groups.items():
+                sums = X[pdf.index.get_indexer(idx)].sum(axis=0)
+                dims = np.nonzero(sums)[0]
+                out.append(
+                    _pd.DataFrame(
+                        {"label": str(lbl), "dim": dims, "n": sums[dims], "rows": 0}
+                    )
+                )
+                out[-1].loc[len(dims)] = [str(lbl), -1, 0.0, len(idx)]
+            yield _pd.concat(out, ignore_index=True) if out else _pd.DataFrame(
+                {"label": [], "dim": [], "n": [], "rows": []}
+            )
+
+    agg = (
+        df.select(SF.col(text_col), SF.col(label_col))
+        .mapInPandas(_feat_counts, schema="label string, dim int, n double, rows long")
+        .groupBy("label", "dim")
+        .agg(SF.sum("n").alias("n"), SF.sum("rows").alias("rows"))
+        .collect()
+    )
+    langs = sorted({r["label"] for r in agg})
+    counts = np.ones((HASH_DIM, len(langs)), dtype=np.float64)
+    prior = np.ones(len(langs), dtype=np.float64)
+    for r in agg:
+        k = langs.index(r["label"])
+        if r["dim"] == -1:
+            prior[k] += r["rows"]
+        else:
+            counts[r["dim"], k] += r["n"]
+    log_prob = np.log(counts / counts.sum(axis=0, keepdims=True)).astype(np.float32)
+    log_prior = np.log(prior / prior.sum()).astype(np.float32)
+    return {"log_prob": log_prob, "log_prior": log_prior, "langs": langs}
+
+
 def langid_hashed_ngram_udf(model: dict):
     """Returns a pandas UDF: caption -> struct<lang:string, conf:double>."""
     log_prob = model["log_prob"]

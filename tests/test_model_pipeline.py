@@ -69,3 +69,35 @@ def test_model_pipeline_f1(spark, fixture_1k, fixture_paths, nd_kwargs, models):
     kept = m[(m["decision"] == "keep") & m["lang_y"].notna()] if "lang_y" in m else None
     if kept is not None and len(kept):
         assert (kept["lang_x"] == kept["lang_y"]).mean() >= 0.97
+
+
+def test_distributed_trainers_match_local(spark):
+    """Distributed (mapInPandas + shuffle-reduce) training must produce
+    byte-identical models to the single-threaded trainers."""
+    from stop_sync_osm_atlas_spark.fixtures.generator import _CONTENT, _caption
+    from stop_sync_osm_atlas_spark.functions.langid import (
+        train_langid_model,
+        train_langid_model_distributed,
+    )
+    from stop_sync_osm_atlas_spark.functions.perplexity import (
+        train_char_bigram,
+        train_char_bigram_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    texts, labels = [], []
+    for lang in sorted(_CONTENT):
+        for _ in range(100):
+            texts.append(_caption(rng, lang, int(rng.integers(5, 20))))
+            labels.append(lang)
+    df = spark.createDataFrame(pd.DataFrame({"text": texts, "lang": labels})).repartition(8)
+
+    lp_local = train_char_bigram(texts)
+    lp_dist = train_char_bigram_distributed(df)
+    assert np.array_equal(lp_local, lp_dist)
+
+    m_local = train_langid_model(texts, labels)
+    m_dist = train_langid_model_distributed(df)
+    assert m_local["langs"] == m_dist["langs"]
+    assert np.array_equal(m_local["log_prob"], m_dist["log_prob"])
+    assert np.array_equal(m_local["log_prior"], m_dist["log_prior"])

@@ -620,12 +620,11 @@ def q41_perplexity_model(spark, sf):
     golden suite."""
     from stop_sync_osm_atlas_spark.functions.perplexity import (
         perplexity_udf,
-        train_char_bigram,
+        train_char_bigram_distributed,
     )
 
     d = _t(spark, sf, "documents")
-    corpus = [r["text"] for r in d.select("text").orderBy("doc_id").limit(2000).collect()]
-    udf = perplexity_udf(train_char_bigram(corpus))
+    udf = perplexity_udf(train_char_bigram_distributed(d))
     return d.select("doc_id", F.round(udf(F.col("text")), 4).alias("ppl"))
 
 
@@ -634,12 +633,11 @@ def q42_langid_nb(spark, sf):
     trained from the corpus's own (text, lang) pairs. Rows-only."""
     from stop_sync_osm_atlas_spark.functions.langid import (
         langid_hashed_ngram_udf,
-        train_langid_model,
+        train_langid_model_distributed,
     )
 
     d = _t(spark, sf, "documents")
-    rows = d.select("text", "lang").orderBy("doc_id").limit(2000).collect()
-    model = train_langid_model([r["text"] for r in rows], [r["lang"] for r in rows])
+    model = train_langid_model_distributed(d)
     udf = langid_hashed_ngram_udf(model)
     return d.withColumn("pred", udf(F.col("text"))).select(
         "doc_id", "lang", F.col("pred.lang").alias("pred_lang"),

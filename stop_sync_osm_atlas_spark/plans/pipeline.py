@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.cascade import metrics_rollup, run_cascade
 from ..operators.rules import RuleConfig
-from ..schemas import OVERRIDES_SCHEMA, PAIRS_SCHEMA
+from ..schemas import PAIRS_SCHEMA
 from ..sources.checkpoint import CheckpointedWriter
 from ..sources.io import write_table
 

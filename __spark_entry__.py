@@ -399,6 +399,17 @@ def q39_pagination(spark, sf):
     )
 
 
+def q43_metrics_cube(spark, sf):
+    """CUBE rollup: the multi-dimensional metrics summary a lineage
+    dashboard needs (beyond the reference's flat per-type stats,
+    stats.py:140-160)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
 def q36_name_match(spark, sf):
     """J2: name-index equi-join with candidate-count gate + tie-break
     (reference name_matching.py:6-95 — accept iff exactly 1 candidate,
@@ -953,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_embedding_neardup": q40_embedding_neardup,
         "q41_perplexity_model": q41_perplexity_model,
         "q42_langid_nb": q42_langid_nb,
+        "q43_metrics_cube": q43_metrics_cube,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1177,6 +1189,11 @@ FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND round(list_dot_product(a.v, b.v) /
     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+""",
+        "q43_metrics_cube": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
         "q39_pagination": """
 SELECT o_orderkey, round(o_totalprice, 2) AS price

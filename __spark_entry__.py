@@ -42,6 +42,9 @@ from stop_sync_osm_atlas_spark.operators.rules import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may run these in its own session: pin UTC so timestamp
+    # semantics match DuckDB's naive-UTC regardless of host config
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -781,7 +781,7 @@ SELECT lang,
   round(avg({nw}), 4) AS avg_words,
   round(avg({sym}), 6) AS avg_symbol_ratio,
   round(avg({swd}), 6) AS avg_stopword_density,
-  sum({tok}) AS total_tokens
+  CAST(sum({tok}) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
 
@@ -1104,7 +1104,7 @@ WITH parts AS (
 SELECT p_partkey, parts.brand_norm, n_same FROM parts JOIN counts USING (brand_norm)
 """,
         "q19_sessionize": """
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
          OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

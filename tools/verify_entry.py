@@ -29,7 +29,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isinf(v):
             return "inf" if v > 0 else "-inf"
-        return f"{v:.6g}"
+        # Keep int-vs-float distinct: the driver hashes exact reprs, so a
+        # DuckDB HUGEINT sum (-> float64 44.0) must NOT canonicalize equal
+        # to Spark's bigint 44.  Tag floats with 'f' so type drift fails here
+        # before it fails at the driver.
+        return f"{v:.6g}f"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if hasattr(v, "tolist"):  # numpy arrays

@@ -629,9 +629,8 @@ def q40_embedding_neardup(spark, sf):
 
 def q41_perplexity_model(spark, sf):
     """KenLM-style char-bigram perplexity (Arrow pandas UDF), model
-    trained deterministically from the corpus itself. Non-SQL-
-    expressible -> rows-only check; exactness is covered by the pytest
-    golden suite."""
+    trained deterministically from the corpus itself. The DuckDB oracle
+    re-derives the full train+score pipeline in SQL (_oracle_q41)."""
     from stop_sync_osm_atlas_spark.functions.perplexity import (
         perplexity_udf,
         train_char_bigram_distributed,
@@ -644,7 +643,9 @@ def q41_perplexity_model(spark, sf):
 
 def q42_langid_nb(spark, sf):
     """fastText-style hashed-ngram NB language ID (Arrow pandas UDF),
-    trained from the corpus's own (text, lang) pairs. Rows-only."""
+    trained from the corpus's own (text, lang) pairs. The DuckDB oracle
+    re-derives FNV-1a hashing, NB training and softmax in SQL
+    (_oracle_q42)."""
     from stop_sync_osm_atlas_spark.functions.langid import (
         langid_hashed_ngram_udf,
         train_langid_model_distributed,
@@ -793,6 +794,124 @@ def _oracle_q22() -> str:
 WITH feat AS (SELECT lang, {words} AS w_arr FROM documents),
 lid AS (SELECT lang, {lang_selects} FROM feat)
 SELECT lang, {lang_case} AS pred, count(*) AS n FROM lid GROUP BY lang, pred
+"""
+
+
+def _oracle_q41() -> str:
+    """Full SQL re-derivation of the char-bigram perplexity model.
+
+    Trains the same add-one-smoothed bigram model as
+    functions/perplexity.py (V=97 symbols: printable ASCII 32..126,
+    OOV bucket 95, BOS 96; first 512 chars per doc) and scores every
+    doc, all inside DuckDB. Double arithmetic on both sides makes the
+    round-4 scores hash-identical to the Spark pandas-UDF path.
+    """
+    return """
+WITH enc AS (
+  SELECT doc_id, i,
+    lag(sym, 1, 96) OVER (PARTITION BY doc_id ORDER BY i) AS prev, sym AS cur
+  FROM (
+    SELECT doc_id, i,
+      CASE WHEN cp BETWEEN 32 AND 126 THEN cp - 32
+           WHEN cp > 127 THEN 31
+           ELSE 95 END AS sym
+    FROM (
+      SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t
+      FROM (SELECT doc_id, substr(coalesce(text,''), 1, 512) AS t FROM documents)
+    ), LATERAL (SELECT unicode(substr(t, CAST(i AS INT), 1)) AS cp)
+  )
+),
+counts AS (SELECT prev, cur, count(*) AS n FROM enc GROUP BY prev, cur),
+row_tot AS (SELECT prev, sum(n) AS tot FROM counts GROUP BY prev),
+scored AS (
+  SELECT e.doc_id,
+    sum(ln((coalesce(c.n, 0) + 1.0) / (coalesce(rt.tot, 0) + 97.0))) AS ll,
+    count(*) AS n_chars
+  FROM enc e
+  LEFT JOIN counts c ON c.prev = e.prev AND c.cur = e.cur
+  LEFT JOIN row_tot rt ON rt.prev = e.prev
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, round(exp(-s.ll / s.n_chars), 4) AS ppl
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def _oracle_q42() -> str:
+    """Full SQL re-derivation of the hashed-ngram NB language model.
+
+    Mirrors functions/langid.py exactly: char 1..3-grams over
+    '^'+lower(strip(text[:512]))+'$', FNV-1a-32 mod 2048 feature
+    hashing (list_reduce over UTF-8 bytes; corpus is ASCII so
+    unicode(char) == byte), add-one multinomial NB with doc-count+1
+    priors, softmax confidence, empty-text -> ('und', 0.0).
+    """
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    return f"""
+WITH prep AS (
+  SELECT doc_id, lang,
+    trim(coalesce(text, ''), {ws}) <> '' AS nonempty,
+    '^' || trim(lower(substr(coalesce(text,''), 1, 512)), {ws}) || '$' AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    unnest(flatten([[substr(s, CAST(i AS INT), n) for i in range(1, len(s)-n+2)] for n in [1,2,3]])) AS g
+  FROM prep WHERE nonempty
+),
+gh AS (
+  SELECT g,
+    CAST(list_reduce(
+      list_prepend(CAST(2166136261 AS BIGINT),
+        [unicode(substr(g, CAST(j AS INT), 1)) for j in range(1, len(g)+1)]),
+      (h, b) -> (xor(h, b) * 16777619) % 4294967296) % 2048 AS INT) AS dim
+  FROM (SELECT DISTINCT g FROM grams)
+),
+feat AS (
+  SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS x
+  FROM grams JOIN gh USING (g) GROUP BY doc_id, dim
+),
+langs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+prior AS (
+  SELECT lang, ln((n_docs + 1.0) / (SELECT sum(n_docs + 1.0) FROM langs)) AS lp
+  FROM langs
+),
+cls AS (
+  SELECT d.lang, f.dim, sum(f.x) AS n
+  FROM feat f JOIN documents d USING (doc_id) GROUP BY d.lang, f.dim
+),
+cls_tot AS (
+  SELECT l.lang, 2048.0 + coalesce(sum(c.n), 0) AS tot
+  FROM langs l LEFT JOIN cls c USING (lang) GROUP BY l.lang
+),
+logits AS (
+  SELECT f.doc_id, l.lang AS cand,
+    sum(f.x * ln((coalesce(c.n, 0) + 1.0) / t.tot)) AS dot
+  FROM feat f
+  CROSS JOIN langs l
+  LEFT JOIN cls c ON c.lang = l.lang AND c.dim = f.dim
+  JOIN cls_tot t ON t.lang = l.lang
+  GROUP BY f.doc_id, l.lang
+),
+shifted AS (
+  SELECT doc_id, cand, logit,
+    exp(logit - max(logit) OVER (PARTITION BY doc_id)) AS e
+  FROM (SELECT g.doc_id, g.cand, g.dot + pr.lp AS logit
+        FROM logits g JOIN prior pr ON pr.lang = g.cand)
+),
+scored AS (
+  SELECT doc_id, cand,
+    e / sum(e) OVER (PARTITION BY doc_id) AS p,
+    row_number() OVER (PARTITION BY doc_id ORDER BY logit DESC, cand ASC) AS rk
+  FROM shifted
+),
+best AS (SELECT doc_id, cand, p FROM scored WHERE rk = 1)
+SELECT d.doc_id, d.lang,
+  CASE WHEN p.nonempty THEN b.cand ELSE 'und' END AS pred_lang,
+  CASE WHEN p.nonempty THEN round(b.p, 4) ELSE 0.0 END AS conf
+FROM documents d
+JOIN prep p USING (doc_id)
+LEFT JOIN best b USING (doc_id)
 """
 
 
@@ -1183,6 +1302,8 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """,
         "q34_lsh_ann": _oracle_q34(),
+        "q41_perplexity_model": _oracle_q41(),
+        "q42_langid_nb": _oracle_q42(),
         "q40_embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,

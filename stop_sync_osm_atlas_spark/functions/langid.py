@@ -12,7 +12,7 @@ Two implementations with identical output contract (lang, lang_conf):
    synthetic corpus, scored in an Arrow-batched pandas UDF (the
    mandated "vectorized pandas/Arrow UDFs, no per-row Python").
    At 100 TB this is the scale path: the model is a single (dim x n_lang)
-   float32 matrix broadcast once per executor; scoring is two numpy
+   float64 matrix broadcast once per executor; scoring is two numpy
    matmuls per Arrow batch.
 """
 
@@ -79,8 +79,9 @@ def _hash_ngram(g: str) -> int:
 
 
 def featurize(texts: "pd.Series") -> np.ndarray:
-    """(len(texts), HASH_DIM) float32 count matrix."""
-    X = np.zeros((len(texts), HASH_DIM), dtype=np.float32)
+    """(len(texts), HASH_DIM) float64 count matrix (double so NB scores
+    are comparable with the DuckDB SQL oracle's double arithmetic)."""
+    X = np.zeros((len(texts), HASH_DIM), dtype=np.float64)
     for i, t in enumerate(texts):
         if not isinstance(t, str) or not t.strip():
             continue
@@ -102,9 +103,9 @@ def train_langid_model(texts: list[str], labels: list[str]) -> dict:
     counts = np.ones((HASH_DIM, len(langs)), dtype=np.float64)  # +1 smooth
     for k in range(len(langs)):
         counts[:, k] += X[y == k].sum(axis=0)
-    log_prob = np.log(counts / counts.sum(axis=0, keepdims=True)).astype(np.float32)
+    log_prob = np.log(counts / counts.sum(axis=0, keepdims=True))
     prior = np.bincount(y, minlength=len(langs)).astype(np.float64) + 1
-    log_prior = np.log(prior / prior.sum()).astype(np.float32)
+    log_prior = np.log(prior / prior.sum())
     return {"log_prob": log_prob, "log_prior": log_prior, "langs": langs}
 
 
@@ -151,8 +152,8 @@ def train_langid_model_distributed(df, text_col: str = "text", label_col: str = 
             prior[k] += r["rows"]
         else:
             counts[r["dim"], k] += r["n"]
-    log_prob = np.log(counts / counts.sum(axis=0, keepdims=True)).astype(np.float32)
-    log_prior = np.log(prior / prior.sum()).astype(np.float32)
+    log_prob = np.log(counts / counts.sum(axis=0, keepdims=True))
+    log_prior = np.log(prior / prior.sum())
     return {"log_prob": log_prob, "log_prior": log_prior, "langs": langs}
 
 

@@ -35,7 +35,11 @@ def _encode(t: str) -> np.ndarray:
 
 
 def train_char_bigram(texts: list[str]) -> np.ndarray:
-    """(V, V) float32 log P(next | prev), add-one smoothed."""
+    """(V, V) float64 log P(next | prev), add-one smoothed.
+
+    float64 (not 32) so scores are bit-comparable with the DuckDB SQL
+    oracle, which computes ln() in double — see oracle_sql()['q41_...'].
+    """
     counts = np.ones((_V, _V), dtype=np.float64)
     for t in texts:
         if not isinstance(t, str) or not t:
@@ -43,7 +47,7 @@ def train_char_bigram(texts: list[str]) -> np.ndarray:
         enc = _encode(t)
         prev = np.concatenate(([_BOS], enc[:-1]))
         np.add.at(counts, (prev, enc), 1.0)
-    return np.log(counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
 
 
 def train_char_bigram_distributed(df, text_col: str = "text") -> np.ndarray:
@@ -83,7 +87,7 @@ def train_char_bigram_distributed(df, text_col: str = "text") -> np.ndarray:
     counts = np.ones((_V, _V), dtype=np.float64)  # +1 smooth, as local
     for r in agg:
         counts[r["prev"], r["cur"]] += r["n"]
-    return np.log(counts / counts.sum(axis=1, keepdims=True)).astype(np.float32)
+    return np.log(counts / counts.sum(axis=1, keepdims=True))
 
 
 def perplexity_scores(texts: pd.Series, log_prob: np.ndarray) -> np.ndarray:

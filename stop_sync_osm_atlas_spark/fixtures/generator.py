@@ -170,8 +170,21 @@ def generate(
             ph = base
             if k > 0:
                 nflip = int(rng.integers(0, 4))
-                flip_bits = rng.choice(np.arange(BUCKET_BITS, 64), size=nflip, replace=False)
-                for fb in flip_bits:
+                if nflip > 0 and rng.random() < 0.3:
+                    # cross-window member: exactly ONE flipped bit inside
+                    # the bucket window (lands in a different bucket than
+                    # the base; reachable only via the multi-probe bridge,
+                    # operators/neardup.py pass 3) + the rest above it
+                    low = int(rng.integers(0, BUCKET_BITS))
+                    ph ^= 1 << low
+                    highs = rng.choice(
+                        np.arange(BUCKET_BITS, 64), size=nflip - 1, replace=False
+                    )
+                else:
+                    highs = rng.choice(
+                        np.arange(BUCKET_BITS, 64), size=nflip, replace=False
+                    )
+                for fb in highs:
                     ph ^= 1 << int(fb)
             # members keep caption slightly varied but clean
             add_row(

@@ -123,6 +123,43 @@ def neardup_oracle(
         sel = df["bucket"] == bucket
         df.loc[sel, "cluster_id"] = df.loc[sel, "local_cluster"].map(m)
 
+    # pass 3: cross-bucket bridge — pairs within `radius` differing in
+    # EXACTLY ONE bucket-window bit merge their clusters (multi-probe
+    # contract of operators/neardup.py pass 3); ≥2 window-bit diffs stay
+    # unbridged on both sides (documented approximation).
+    nodes = df[["phash", "bucket", "cluster_id"]].drop_duplicates()
+    nph = nodes["phash"].to_numpy().astype(np.uint64)
+    ncl = nodes["cluster_id"].to_numpy(dtype=object)
+    cl_ids = sorted(set(ncl))
+    idx = {c: i for i, c in enumerate(cl_ids)}
+    parent = list(range(len(cl_ids)))
+
+    def _find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    imask = (1 << bits) - 1
+    for i in range(len(nodes)):
+        for j in range(i + 1, len(nodes)):
+            x = int(nph[i] ^ nph[j])
+            if (
+                _popcount(x & imask) == 1
+                and _popcount(x) <= radius
+                and ncl[i] != ncl[j]
+            ):
+                ri, rj = _find(idx[ncl[i]]), _find(idx[ncl[j]])
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp_min: dict[int, object] = {}
+    for c in cl_ids:
+        r = _find(idx[c])
+        cur = comp_min.get(r)
+        if cur is None or c < cur:
+            comp_min[r] = c
+    df["cluster_id"] = df["cluster_id"].map(lambda c: comp_min[_find(idx[c])])
+
     sizes2 = df.groupby("cluster_id")["image_id"].transform("size")
     df["cluster_size"] = sizes2.astype(int)
     df["is_cluster_rep"] = df["image_id"] == df["cluster_id"]

@@ -40,12 +40,75 @@ def test_radius_boundary(spark):
     assert out.loc["c", "cluster_id"] == "c"
 
 
-def test_different_buckets_never_compared(spark):
-    # same high bits, different low-16 bucket bits -> never candidates
+def test_one_window_bit_apart_bridged(spark):
+    # 1-bit Hamming inside the bucket window -> different buckets, but
+    # the multi-probe bridge (pass 3) re-finds and merges the pair
     a = 0xABCDEF0000
-    b = a ^ 0x1  # 1-bit Hamming but different bucket
+    b = a ^ 0x1
+    out = _run(spark, [("a", a), ("b", b)])
+    assert out.loc["a", "cluster_id"] == "a" and out.loc["b", "cluster_id"] == "a"
+    assert out.loc["a", "cluster_size"] == 2 and not out.loc["b", "is_cluster_rep"]
+
+
+def test_two_window_bits_apart_not_bridged(spark):
+    # >=2 differing bits inside the window: documented recall limit of
+    # the 1-bit multi-probe (would need C(16,2) probes or banding)
+    a = 0xABCDEF0000
+    b = a ^ 0x3
     out = _run(spark, [("a", a), ("b", b)])
     assert out.loc["a", "cluster_id"] == "a" and out.loc["b", "cluster_id"] == "b"
+
+
+def test_bridge_chains_through_base(spark):
+    # A and B are 2 window bits apart from each other but each 1 window
+    # bit from BASE -> edges (base,A), (base,B) merge all three, and the
+    # min-label contraction elects the min image_id across the chain
+    base = 0xFACE0000
+    a = base ^ 0x1
+    b = base ^ 0x2
+    out = _run(spark, [("m", base), ("a", a), ("b", b)])
+    assert set(out["cluster_id"]) == {"a"}
+    assert out.loc["a", "is_cluster_rep"]
+    assert (out["cluster_size"] == 3).all()
+
+
+def test_distributed_cc_equals_driver_cc(spark):
+    # the >BRIDGE_DRIVER_CC_MAX fallback must produce identical labels:
+    # chain 0-1-2-3, triangle 10-11-12, isolated edge 20-21
+    from stop_sync_osm_atlas_spark.operators.neardup import _cc_min_label, _driver_cc
+
+    edges = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2"), ("n2", "n3"),
+         ("n10", "n11"), ("n11", "n12"), ("n10", "n12"),
+         ("n20", "n21")],
+        "a string, b string",
+    ).persist()
+    dist = {r["node"]: r["label"] for r in _cc_min_label(edges).collect()}
+    drv = {r["node"]: r["label"] for r in _driver_cc(edges).collect()}
+    assert dist == drv
+    assert dist["n3"] == "n0" and dist["n12"] == "n10" and dist["n21"] == "n20"
+
+
+def test_bridge_matches_oracle_cross_window(spark):
+    # mixed: exact dups, high-bit near-dups, cross-window near-dups,
+    # singletons — engine must equal the pandas oracle row-for-row
+    base = 0x1234ABCD5678
+    rows = [
+        ("a", base),
+        ("b", base ^ (1 << 40)),          # high-bit near-dup, same bucket
+        ("c", base ^ 0x4),                # 1 window bit -> bridged
+        ("d", base ^ 0x4 ^ (1 << 50)),    # bridged via c's bucket
+        ("e", base ^ 0x30),               # 2 window bits -> separate
+        ("f", 0x5EADBEEF00000000),        # singleton
+    ]
+    eng = _run(spark, rows)
+    orc = (
+        neardup_oracle(pd.DataFrame(rows, columns=["image_id", "phash"]))
+        .set_index("image_id")
+        .sort_index()
+    )
+    for col in ["cluster_id", "cluster_size", "is_cluster_rep"]:
+        assert (eng[col] == orc[col]).all(), col
 
 
 def test_hot_bucket_salting_matches_oracle(spark, fixture_1k, nd_kwargs):

@@ -572,9 +572,11 @@ def q24_neardup(spark, sf):
 
 
 def q25_ngram_jaccard(spark, sf):
-    """n-gram Jaccard near-dup pairs (operators/dedup)."""
+    """n-gram Jaccard near-dup pairs (operators/dedup), with the
+    scale-guard shingle doc-frequency cap (boilerplate shingles shared
+    by >50 docs never enter the self-join)."""
     d = _t(spark, sf, "documents")
-    return DD.ngram_jaccard_pairs(d, threshold=0.35, n=3)
+    return DD.ngram_jaccard_pairs(d, threshold=0.35, n=3, max_shingle_df=50)
 
 
 def q26_minhash_lsh(spark, sf):
@@ -625,6 +627,25 @@ def q40_embedding_neardup(spark, sf):
     baseline; operators/similarity.cosine_pairs)."""
     emb = _t(spark, sf, "embeddings")
     return SIM.cosine_pairs(emb, threshold=0.45)
+
+
+def q44_banded_cosine_pairs(spark, sf):
+    """Banded hyperplane-LSH embedding near-dup pairs — the scale path
+    for which q40's brute-force cosine_pairs is the exactness baseline
+    (operators/similarity.cosine_neardup_pairs)."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.cosine_neardup_pairs(
+        emb, threshold=0.45, dim=64, n_planes=32, n_bands=8
+    )
+
+
+def q45_hash_sample(spark, sf):
+    """Deterministic md5-bucket sampling (O5; reference
+    backend/services/search.py:192-206 random.sample made replayable)."""
+    from stop_sync_osm_atlas_spark.operators.sampling import hash_sample
+
+    d = _t(spark, sf, "documents")
+    return hash_sample(d, rate_buckets=100, n_buckets=1000).select("doc_id", "lang")
 
 
 def q41_perplexity_model(spark, sf):
@@ -794,6 +815,38 @@ def _oracle_q22() -> str:
 WITH feat AS (SELECT lang, {words} AS w_arr FROM documents),
 lid AS (SELECT lang, {lang_selects} FROM feat)
 SELECT lang, {lang_case} AS pred, count(*) AS n FROM lid GROUP BY lang, pred
+"""
+
+
+def _oracle_q44() -> str:
+    """Banded hyperplane pairs: identical plane literals, 32-bit sketch,
+    8x4-bit band keys and exact-cosine filter as cosine_neardup_pairs."""
+    planes = SIM._hyperplanes(dim=64, n_planes=32, seed=7)
+    plane_lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes
+    ]
+    sketch = " | ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lits[p]}) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+        for p in range(32)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': (sketch >> %d) & 15}" % (b, b * 4) for b in range(8)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sk AS (SELECT vec_id, v, ({sketch}) AS sketch FROM e),
+bands AS (SELECT vec_id, v, unnest([{band_structs}]) AS bk FROM sk),
+cands AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, a.v AS av, b.v AS bv
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
+  round(list_dot_product(av, bv) /
+    (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6) AS cos_sim
+FROM cands
+WHERE round(list_dot_product(av, bv) /
+    (sqrt(list_dot_product(av, av)) * sqrt(list_dot_product(bv, bv))), 6) >= 0.45
 """
 
 
@@ -975,7 +1028,12 @@ def _oracle_q25() -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id AS id, unnest({shingles}) AS shingle FROM documents
-), sh2 AS (SELECT id, shingle FROM sh WHERE trim(shingle) <> ''),
+), sh1 AS (SELECT id, shingle FROM sh WHERE trim(shingle) <> ''),
+sh2 AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh1
+  ) WHERE df <= 50
+),
 sizes AS (SELECT id, count(*) AS n_sh FROM sh2 GROUP BY id),
 common AS (
   SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_common
@@ -1087,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_perplexity_model": q41_perplexity_model,
         "q42_langid_nb": q42_langid_nb,
         "q43_metrics_cube": q43_metrics_cube,
+        "q44_banded_cosine_pairs": q44_banded_cosine_pairs,
+        "q45_hash_sample": q45_hash_sample,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1304,6 +1364,11 @@ FROM events GROUP BY 1, 2
         "q34_lsh_ann": _oracle_q34(),
         "q41_perplexity_model": _oracle_q41(),
         "q42_langid_nb": _oracle_q42(),
+        "q44_banded_cosine_pairs": _oracle_q44(),
+        "q45_hash_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100
+""",
         "q40_embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -115,6 +115,13 @@ def run_cascade(
         pre_hits["pii_only_after_scrub"] = SCRUB.pii_only_from_scrubbed(
             F.col("caption"), F.col("caption_scrubbed_pre")
         )
+    # Per-rule enable switches (reference problem_detection.py:20-23
+    # ENABLE_* analog): a disabled rule's hit is constant-folded false —
+    # Catalyst then prunes its entire predicate subtree from the plan.
+    for name in list(pre_hits):
+        if not cfg.rule_enabled(name):
+            pre_hits[name] = F.lit(False)
+
     bit_of = {name: i for i, name in enumerate(sorted(pre_hits))}
     mask = None
     for name, cond in pre_hits.items():
@@ -133,7 +140,11 @@ def run_cascade(
         for name in pre_hits
         if name not in ("scrub", "pii_only_after_scrub")
     }
-    hits["near_duplicate"] = F.coalesce(~F.col("is_cluster_rep"), F.lit(False))
+    hits["near_duplicate"] = (
+        F.coalesce(~F.col("is_cluster_rep"), F.lit(False))
+        if cfg.rule_enabled("near_duplicate")
+        else F.lit(False)
+    )
     s_hit = F.col("_hits_mask").bitwiseAND(F.lit(1 << bit_of["scrub"])) != 0
     p_hit = (
         F.col("_hits_mask").bitwiseAND(F.lit(1 << bit_of["pii_only_after_scrub"])) != 0

@@ -98,6 +98,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard >= threshold (a_id < b_id).
 
@@ -105,8 +106,28 @@ def ngram_jaccard_pairs(
     (the blocking key — same role as the reference's UIC block) ->
     count common -> |A∪B| = |A|+|B|-common. One shuffle on shingle,
     one on the pair key; no cross join ever materializes.
+
+    ``max_shingle_df``: drop shingles whose document frequency exceeds
+    the cap BEFORE the self-join. Without it a boilerplate shingle
+    shared by k docs emits k^2/2 join rows — the quadratic blow-up that
+    kills this operator at corpus scale. NOT a silent cap: capped
+    shingles are excluded from both the intersection AND the union
+    (sizes are re-counted after the filter), so the reported value is
+    the exact Jaccard of the capped shingle sets — deterministic and
+    mirrored by the SQL oracle. Recall trade: pairs similar ONLY
+    through boilerplate no longer surface (at scale, route residual
+    near-dup through minhash_lsh_pairs instead).
     """
     sh = shingle_rows(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_shingle_df is not None:
+        # window over the same key the self-join shuffles on — the
+        # exchange is reused, so the cap costs no extra shuffle
+        dfw = W.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(dfw))
+            .where(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -30,6 +30,11 @@ def apply_overrides(decisions: DataFrame, overrides: DataFrame | None) -> DataFr
         F.col("image_id").alias("_ov_image_id"),
         F.col("forced_decision").alias("_ov_decision"),
     ).dropDuplicates(["_ov_image_id"])
+    # Broadcast below the row threshold (one eager count of the small
+    # side — override tables are curated, counting them is cheap); above
+    # it, plain join: AQE picks shuffled-hash co-partitioned on image_id.
+    if ov.count() <= BROADCAST_MAX_ROWS:
+        ov = F.broadcast(ov)
     joined = decisions.join(
         ov, decisions["image_id"] == ov["_ov_image_id"], "left"
     )

@@ -27,7 +27,13 @@ from ..functions import text as TX
 
 @dataclass(frozen=True)
 class RuleConfig:
-    """Thresholds — the 15/25/80 m ladder analog (BASELINE.md)."""
+    """Thresholds — the 15/25/80 m ladder analog (BASELINE.md).
+
+    ``disabled_rules`` is the analog of the reference's per-check
+    ENABLE_* switches (reference problem_detection.py:20-23): a named
+    rule in the tuple never fires, in the engine AND the pandas oracle
+    (both consult ``rule_enabled``).
+    """
 
     min_words: int = 5
     max_words: int = 256
@@ -37,6 +43,10 @@ class RuleConfig:
     stopword_rule_min_words: int = 20
     max_perplexity: float = 97.0  # ~uniform-over-alphabet ppl for gibberish
     stopwords: tuple[str, ...] = field(default_factory=lambda: tuple(ALL_STOPWORDS))
+    disabled_rules: tuple[str, ...] = ()
+
+    def rule_enabled(self, name: str) -> bool:
+        return name not in self.disabled_rules
 
 
 # (rule_name, priority, severity, decision). priority resolves

@@ -123,6 +123,85 @@ def signbit_sketch(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def _banded(
+    df: DataFrame,
+    prefix: str,
+    planes: np.ndarray,
+    band_bits: int,
+    n_bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, exploded band struct) — shared by the ANN probe and the
+    pair generator."""
+    mask = (1 << band_bits) - 1
+    sk = signbit_sketch(F.col(vec_col).cast("array<double>"), planes)
+    df = df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        F.col(vec_col).alias(f"{prefix}_vec"),
+        sk.alias("sketch"),
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sketch"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(f"{prefix}_id", f"{prefix}_vec", F.explode(bands).alias("bk"))
+
+
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 16,
+    n_planes: int = 32,
+    n_bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Banded embedding near-dup pairs — the SCALE path for which
+    ``cosine_pairs`` is the brute-force exactness baseline.
+
+    Hyperplane sign-bit sketch -> per-band self equi-join -> exact
+    cosine >= threshold on candidates only. No cross join: join volume
+    is sum over band keys of k^2 within a bucket, and key width
+    (n_planes / n_bands bits) is the skew dial — widen it as the corpus
+    grows so buckets stay bounded. Recall < 1 by construction (a pair
+    colliding in no band is missed); measured against cosine_pairs in
+    tests. Deterministic: the oracle re-derives the identical plane
+    literals (same seed) and band keys.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    band_bits = n_planes // n_bands
+    a = _banded(corpus, "a", planes, band_bits, n_bands, id_col, vec_col)
+    b = _banded(corpus, "b", planes, band_bits, n_bands, id_col, vec_col)
+    cands = (
+        a.join(b, (a["bk"] == b["bk"]) & (a["a_id"] < b["b_id"]))
+        .select("a_id", "a_vec", "b_id", "b_vec")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cands.select(
+            "a_id",
+            "b_id",
+            F.round(
+                cosine(
+                    F.col("a_vec").cast("array<double>"),
+                    F.col("b_vec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -140,32 +219,8 @@ def lsh_cosine_topk(
     """
     planes = _hyperplanes(dim, n_planes, seed)
     band_bits = n_planes // n_bands
-    mask = (1 << band_bits) - 1
-
-    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
-        sk = signbit_sketch(F.col(vec_col).cast("array<double>"), planes)
-        df = df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
-            sk.alias("sketch"),
-        )
-        bands = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned(F.col("sketch"), b * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("key"),
-                )
-                for b in range(n_bands)
-            ]
-        )
-        return df.select(
-            f"{prefix}_id", f"{prefix}_vec", F.explode(bands).alias("bk")
-        )
-
-    cb = with_bands(corpus, "c")
-    qb = with_bands(queries, "q")
+    cb = _banded(corpus, "c", planes, band_bits, n_bands, id_col, vec_col)
+    qb = _banded(queries, "q", planes, band_bits, n_bands, id_col, vec_col)
     cands = (
         cb.join(F.broadcast(qb), cb["bk"] == qb["bk"])
         .where(F.col("q_id") != F.col("c_id"))

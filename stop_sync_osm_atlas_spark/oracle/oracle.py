@@ -241,6 +241,11 @@ def run_oracle(
             "near_duplicate": not is_rep,
             "scrub": cap is not None and scrubbed != cap,
         }
+        # per-rule enable switches (mirror of cascade.run_cascade)
+        for name in list(hits):
+            if not cfg.rule_enabled(name):
+                hits[name] = False
+
         rule = "keep"
         for name in sorted(hits, key=lambda n: RULE_PRIORITY[n]):
             if hits[name]:

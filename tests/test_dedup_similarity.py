@@ -79,3 +79,62 @@ def test_lsh_ann_recall(spark):
     a = set(zip(approx["q_id"], approx["c_id"]))
     recall = len(e & a) / len(e)
     assert recall >= 0.3, recall  # banded 16-bit sketch on random vectors
+
+
+def test_shingle_df_cap_kills_quadratic_blowup(spark):
+    # pathological corpus: every doc shares one boilerplate sentence ->
+    # uncapped blocking joins all pairs; the cap drops the hot shingle
+    # and keeps only genuinely-similar pairs
+    boiler = "all rights reserved copyright twothousand example incorporated"
+    rows = [(i, f"unique token{i} sentence number {i} " + boiler) for i in range(60)]
+    rows.append((100, "unique token1 sentence number 1 " + boiler))  # near-dup of 1
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    capped = DD.ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=10).toPandas()
+    # only the planted near-dup pair survives; the 61*60/2 boilerplate
+    # pairs never enter the join
+    assert set(zip(capped.a_id, capped.b_id)) == {(1, 100)}
+    uncapped = DD.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    assert len(uncapped) > 1000  # the blow-up the cap is protecting against
+
+
+def test_banded_cosine_pairs_subset_with_recall(spark):
+    # 30 planted near-dup pairs (tiny perturbations) + noise vectors:
+    # banded output must be an exact SUBSET of brute force, with recall
+    # >= 0.8 at near-dup thresholds
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for g in range(30):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        w = v + rng.standard_normal(64) * 0.05
+        w /= np.linalg.norm(w)
+        rows += [(vid, v.tolist()), (vid + 1, w.tolist())]
+        vid += 2
+    for _ in range(60):
+        u = rng.standard_normal(64)
+        rows.append((vid, (u / np.linalg.norm(u)).tolist()))
+        vid += 1
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    brute = SIM.cosine_pairs(emb, threshold=0.9).toPandas()
+    banded = SIM.cosine_neardup_pairs(
+        emb, threshold=0.9, dim=64, n_planes=32, n_bands=8
+    ).toPandas()
+    bset = set(zip(brute.a_id, brute.b_id))
+    nset = set(zip(banded.a_id, banded.b_id))
+    assert nset <= bset
+    assert len(bset) >= 25
+    assert len(nset) / len(bset) >= 0.8
+
+
+def test_hash_sample_deterministic_and_consistent(spark):
+    from stop_sync_osm_atlas_spark.operators.sampling import hash_sample
+
+    d = spark.range(0, 10000).withColumnRenamed("id", "doc_id")
+    s1 = hash_sample(d, rate_buckets=100, n_buckets=1000).toPandas()
+    s2 = hash_sample(d.repartition(7), rate_buckets=100, n_buckets=1000).toPandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)  # partitioning-invariant
+    assert 0.06 < len(s1) / 10000 < 0.14  # ~10% rate
+    # monotone: a larger rate strictly contains the smaller sample
+    s3 = hash_sample(d, rate_buckets=200, n_buckets=1000).toPandas()
+    assert set(s1.doc_id) <= set(s3.doc_id)

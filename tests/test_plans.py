@@ -99,3 +99,39 @@ def test_fused_decode_reads_bytes_once(spark, fixture_paths):
     scans = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg and "ReadSchema" in seg]
     with_bytes = [s for s in scans if "bytes:binary" in s]
     assert len(with_bytes) == 1, f"{len(with_bytes)} scans read bytes"
+
+
+def test_small_override_table_broadcasts(spark):
+    """apply_overrides must broadcast a small override table
+    (BROADCAST_MAX_ROWS contract in operators/overrides.py)."""
+    import pandas as pd
+
+    from stop_sync_osm_atlas_spark.operators.overrides import apply_overrides
+
+    decisions = (
+        spark.range(0, 1000)
+        .select(
+            F.concat(F.lit("img:"), F.col("id")).alias("image_id"),
+            F.lit("keep").alias("decision"),
+            F.lit("keep").alias("rule"),
+            F.lit(5).alias("severity"),
+            F.array().cast("array<string>").alias("reasons"),
+        )
+    )
+    ov = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["img:1", "img:2"], "forced_decision": ["drop", "keep"]})
+    )
+    plan = _plan(apply_overrides(decisions, ov))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hash_sample_is_codegen_filter(spark):
+    """The deterministic sample must stay a pure codegen filter — no
+    shuffle, no Python."""
+    from stop_sync_osm_atlas_spark.operators.sampling import hash_sample
+
+    sf = "/root/testdata/sf0.001"
+    df = hash_sample(spark.read.parquet(f"{sf}/documents.parquet"), 100, key_col="doc_id")
+    plan = _plan(df.select("doc_id"))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -96,3 +96,38 @@ def test_token_set_hits_adjacency(spark):
     for src, expect in cases.items():
         got = _one(spark, src, token_set_hits(F.col("caption"), ["the", "and"]))
         assert got == expect, (src, got, expect)
+
+
+def test_disabled_rules_match_oracle(spark, fixture_1k, fixture_paths, nd_kwargs):
+    """Per-rule enable switches (reference problem_detection.py:20-23
+    ENABLE_* analog): with symbol_ratio and near_duplicate off, the
+    engine and the pandas oracle agree row-for-row, no row resolves to
+    the disabled rules, and previously-hit rows re-resolve."""
+    from stop_sync_osm_atlas_spark.operators.cascade import run_cascade
+    from stop_sync_osm_atlas_spark.operators.rules import RuleConfig
+    from stop_sync_osm_atlas_spark.oracle.oracle import run_oracle
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    cfg = RuleConfig(disabled_rules=("symbol_ratio", "near_duplicate"))
+    pairs_sdf = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    eng = (
+        run_cascade(pairs_sdf, cfg=cfg, neardup_kwargs=nd_kwargs)
+        .toPandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    orc = (
+        run_oracle(fixture_1k.pairs, cfg=cfg, neardup_kwargs=nd_kwargs)
+        .set_index("image_id")
+        .sort_index()
+    )
+    assert not (eng["rule"] == "symbol_ratio").any()
+    assert not (eng["rule"] == "near_duplicate").any()
+    # planted symbol_ratio violations must now resolve downstream
+    lbl = fixture_1k.labels.set_index("image_id")
+    sym_rows = lbl[lbl["true_rule"] == "symbol_ratio"].index
+    assert len(sym_rows) > 0
+    for col in ["decision", "rule", "severity"]:
+        assert (eng.loc[sym_rows, col] == orc.loc[sym_rows, col]).all(), col
+    assert (eng["rule"] == orc["rule"]).all()
+    assert (eng["decision"] == orc["decision"]).all()

@@ -648,6 +648,54 @@ def q45_hash_sample(spark, sf):
     return hash_sample(d, rate_buckets=100, n_buckets=1000).select("doc_id", "lang")
 
 
+def q46_strict_merge(spark, sf):
+    """Strict merge with tiered fallbacks (J7; reference
+    get_atlas_data.py:488-576 match_gtfs_to_atlas): strict equi ->
+    unique-by-key -> suffix-token, one tier-labeled union
+    (operators/merge.strict_merge_with_fallbacks)."""
+    from stop_sync_osm_atlas_spark.operators.merge import strict_merge_with_fallbacks
+
+    o = _t(spark, sf, "orders")
+    p = _t(spark, sf, "part")
+    probe = o.select(
+        F.col("o_orderkey").alias("probe_id"),
+        F.concat(
+            F.lit("Brand#"),
+            (F.lit(1) + F.col("o_orderkey") % 5).cast("string"),
+            (F.lit(1) + F.col("o_custkey") % 5).cast("string"),
+        ).alias("k1"),
+        (F.col("o_orderkey") % 50).cast("string").alias("k2"),
+    )
+    build = p.where(F.col("p_size") <= 2).select(
+        F.concat(
+            F.lit("p:"),
+            F.col("p_brand"),
+            F.lit(":"),
+            F.col("p_partkey").cast("string"),
+            F.lit(":"),
+            (F.col("p_partkey") % 50).cast("string"),
+        ).alias("build_id"),
+        F.col("p_brand").alias("k1"),
+        # designation differs from the id's last token (%40 vs %50) so
+        # the suffix-token fallback has pairs the strict tier misses
+        (F.col("p_partkey") % 40).cast("string").alias("k2"),
+    )
+    return strict_merge_with_fallbacks(probe, build)
+
+
+def q47_null_last_page(spark, sf):
+    """Null-handling sort in a graded page (O2; reference
+    problems.py:198-209 coalesce(distance, sentinel) ordering):
+    DESC NULLS LAST across the null boundary, deterministic tiebreak."""
+    e = _t(spark, sf, "events")
+    dist = F.when(F.col("event_id") % 500 == 0, F.col("value"))
+    return (
+        e.select("event_id", F.round(dist, 2).alias("dist"))
+        .orderBy(F.desc_nulls_last("dist"), F.asc("event_id"))
+        .limit(25)
+    )
+
+
 def q41_perplexity_model(spark, sf):
     """KenLM-style char-bigram perplexity (Arrow pandas UDF), model
     trained deterministically from the corpus itself. The DuckDB oracle
@@ -1147,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_metrics_cube": q43_metrics_cube,
         "q44_banded_cosine_pairs": q44_banded_cosine_pairs,
         "q45_hash_sample": q45_hash_sample,
+        "q46_strict_merge": q46_strict_merge,
+        "q47_null_last_page": q47_null_last_page,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1365,6 +1415,41 @@ FROM events GROUP BY 1, 2
         "q41_perplexity_model": _oracle_q41(),
         "q42_langid_nb": _oracle_q42(),
         "q44_banded_cosine_pairs": _oracle_q44(),
+        "q46_strict_merge": """
+WITH probe AS (
+  SELECT o_orderkey AS probe_id,
+    'Brand#' || CAST(1 + o_orderkey % 5 AS VARCHAR) || CAST(1 + o_custkey % 5 AS VARCHAR) AS k1,
+    CAST(o_orderkey % 50 AS VARCHAR) AS k2
+  FROM orders
+), build AS (
+  SELECT 'p:' || p_brand || ':' || CAST(p_partkey AS VARCHAR) || ':'
+           || CAST(p_partkey % 50 AS VARCHAR) AS build_id,
+    p_brand AS k1, CAST(p_partkey % 40 AS VARCHAR) AS k2
+  FROM part WHERE p_size <= 2
+), strict AS (
+  SELECT p.probe_id, b.build_id, 'strict' AS tier
+  FROM probe p JOIN build b ON p.k1 = b.k1 AND p.k2 = b.k2
+), rem1 AS (
+  SELECT * FROM probe WHERE probe_id NOT IN (SELECT probe_id FROM strict)
+), per_key AS (
+  SELECT k1, count(*) AS n, min(build_id) AS only_id FROM build GROUP BY k1
+), uniq AS (
+  SELECT r.probe_id, pk.only_id AS build_id, 'unique_by_key' AS tier
+  FROM rem1 r JOIN per_key pk ON r.k1 = pk.k1 AND pk.n = 1
+), rem2 AS (
+  SELECT * FROM rem1 WHERE probe_id NOT IN (SELECT probe_id FROM uniq)
+), suffix AS (
+  SELECT r.probe_id, min(b.build_id) AS build_id, 'suffix_token' AS tier
+  FROM rem2 r JOIN build b ON r.k1 = b.k1 AND r.k2 IS NOT NULL
+    AND string_split(b.build_id, ':')[-1] = r.k2
+  GROUP BY r.probe_id
+)
+SELECT * FROM strict UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM suffix
+""",
+        "q47_null_last_page": """
+SELECT event_id, round(CASE WHEN event_id % 500 = 0 THEN value END, 2) AS dist
+FROM events ORDER BY dist DESC NULLS LAST, event_id ASC LIMIT 25
+""",
         "q45_hash_sample": """
 SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100

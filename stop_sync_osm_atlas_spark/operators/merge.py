@@ -1,0 +1,106 @@
+"""Strict merge with tiered fallbacks (J7).
+
+Direct analog of the reference's GTFS->ATLAS stop mapping (reference
+get_atlas_data.py:488-576 ``match_gtfs_to_atlas``):
+
+- Tier 1 ``strict``       : inner equi-join on BOTH keys; every match
+  kept (the reference keeps all strict rows too).
+- Tier 2 ``unique_by_key``: for probe rows unmatched so far, if the
+  build side has EXACTLY ONE row for the primary key, take it.
+- Tier 3 ``suffix_token`` : else, among same-primary-key candidates,
+  those whose build-id LAST ':'-token equals the probe's secondary key;
+  deterministic tie-break = min build id (the reference takes
+  ``iloc[0]`` — input-order dependent; min-id is the deterministic
+  re-expression, same policy as near-dup rep election).
+
+Spark shape (100 TB): three equi-joins + two anti-joins, all on the
+primary key or the probe id — no cross join, no per-row Python. The
+per-key candidate count rides the SAME groupBy aggregate that serves
+tier 2, and the anti-joins are the standard remainder idiom (J10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def strict_merge_with_fallbacks(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_id: str = "probe_id",
+    build_id: str = "build_id",
+    key1: str = "k1",
+    key2: str = "k2",
+) -> DataFrame:
+    """-> (probe_id, build_id, tier) with tier in
+    ('strict', 'unique_by_key', 'suffix_token').
+
+    Column contract: both frames carry ``key1``; probe carries ``key2``
+    (matched against build's ``key2`` in tier 1 and against the last
+    ':'-token of ``build_id`` in tier 3).
+    """
+    # rename per side: every tier below re-joins projections of the same
+    # build frame, so unqualified shared names would trip Spark's
+    # ambiguous-self-join detection
+    p = probe.select(
+        F.col(probe_id).alias("_pid"),
+        F.col(key1).alias("_pk1"),
+        F.col(key2).alias("_pk2"),
+    )
+    b = build.select(
+        F.col(build_id).alias("_bid"),
+        F.col(key1).alias("_bk1"),
+        F.col(key2).alias("_bk2"),
+    )
+
+    strict = (
+        p.join(b, (F.col("_pk1") == F.col("_bk1")) & (F.col("_pk2") == F.col("_bk2")))
+        .select(
+            F.col("_pid").alias(probe_id),
+            F.col("_bid").alias(build_id),
+            F.lit("strict").alias("tier"),
+        )
+    )
+
+    rem1 = p.join(
+        strict.select(F.col(probe_id).alias("_pid")), "_pid", "left_anti"
+    )
+
+    # one aggregate serves both the tier-2 gate (n == 1 -> the min IS
+    # the only candidate) and the deterministic candidate id
+    per_key = b.groupBy("_bk1").agg(
+        F.count("*").alias("_n"), F.min("_bid").alias("_only")
+    )
+    uniq = (
+        rem1.join(
+            per_key.where(F.col("_n") == 1), F.col("_pk1") == F.col("_bk1")
+        )
+        .select(
+            F.col("_pid").alias(probe_id),
+            F.col("_only").alias(build_id),
+            F.lit("unique_by_key").alias("tier"),
+        )
+    )
+
+    rem2 = rem1.join(
+        uniq.select(F.col(probe_id).alias("_pid")), "_pid", "left_anti"
+    )
+    last_tok = F.element_at(F.split(F.col("_bid"), ":"), -1)
+    suffix = (
+        rem2.join(
+            b,
+            (F.col("_pk1") == F.col("_bk1"))
+            & F.col("_pk2").isNotNull()
+            & (last_tok == F.col("_pk2")),
+        )
+        .groupBy("_pid")
+        .agg(F.min("_bid").alias(build_id))
+        .select(
+            F.col("_pid").alias(probe_id),
+            F.col(build_id),
+            F.lit("suffix_token").alias("tier"),
+        )
+    )
+
+    return strict.unionByName(uniq).unionByName(suffix)

@@ -70,27 +70,53 @@ class CheckpointedWriter:
         return n
 
     def run(self, decisions: DataFrame) -> dict[int, int]:
-        """Write all uncommitted groups (resume-aware). Returns counts.
+        """Write all uncommitted groups in ONE Spark job. Returns counts.
 
-        Persists the decisions plan across the group loop — otherwise
-        every group commit would recompute the full cascade (each group
-        write is a separate action). At cluster scale the same pattern
-        holds: stage the decisions once, fan the commits out from it.
+        The decisions plan runs exactly once: a single
+        ``partitionBy(_commit_group)`` write fans every uncommitted
+        group into its own directory, then the driver promotes each
+        directory with the same atomic rename + marker protocol as
+        ``write_group``. Group-level atomicity is preserved (a crash
+        mid-promotion leaves promoted groups committed and the rest
+        recomputed on resume); the n-actions-over-a-persisted-frame
+        pattern this replaces cost one full pass per group.
         """
         done = self.committed_groups()
         todo = [g for g in range(self.n_groups) if g not in done]
         counts: dict[int, int] = {}
         if not todo:
             return counts
-        persisted = len(todo) > 1
-        if persisted:
-            decisions = decisions.persist()
-        try:
-            for g in todo:
-                counts[g] = self.write_group(decisions, g)
-        finally:
-            if persisted:
-                decisions.unpersist()
+        spark = decisions.sparkSession
+        tmp_root = os.path.join(self.root, "decisions.tmp")
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        (
+            decisions.withColumn(
+                "_commit_group",
+                F.pmod(F.col("part_bucket"), F.lit(self.n_groups)),
+            )
+            .where(F.col("_commit_group").isin(todo))
+            .write.mode("overwrite")
+            .partitionBy("_commit_group")
+            .parquet(tmp_root)
+        )
+        os.makedirs(os.path.join(self.root, "decisions"), exist_ok=True)
+        for g in todo:
+            src = os.path.join(tmp_root, f"_commit_group={g}")
+            final = self._group_dir(g)
+            shutil.rmtree(final, ignore_errors=True)
+            if os.path.isdir(src):
+                os.rename(src, final)
+                n = spark.read.parquet(final).count()
+            else:
+                # the group matched no rows: commit it empty so a
+                # resume does not recompute the plan for nothing
+                os.makedirs(final, exist_ok=True)
+                n = 0
+            with open(self._marker(g) + ".tmp", "w") as fh:
+                json.dump({"group": g, "rows": n}, fh)
+            os.rename(self._marker(g) + ".tmp", self._marker(g))
+            counts[g] = n
+        shutil.rmtree(tmp_root, ignore_errors=True)
         return counts
 
     def read_all(self, spark: SparkSession) -> DataFrame:

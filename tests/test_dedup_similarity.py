@@ -138,3 +138,40 @@ def test_hash_sample_deterministic_and_consistent(spark):
     # monotone: a larger rate strictly contains the smaller sample
     s3 = hash_sample(d, rate_buckets=200, n_buckets=1000).toPandas()
     assert set(s1.doc_id) <= set(s3.doc_id)
+
+
+def test_strict_merge_tiers(spark):
+    """J7 micro-case: each tier fires on the right row, in order
+    (reference get_atlas_data.py:488-576)."""
+    from stop_sync_osm_atlas_spark.operators.merge import strict_merge_with_fallbacks
+
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("s1", "100", "7"),    # strict: (100, 7) exists in build
+                ("s2", "200", "9"),    # no strict, key 200 unique -> fb1
+                ("s3", "300", "5"),    # no strict, 2 candidates, token 5 -> fb2
+                ("s4", "300", "99"),   # no strict, no token match -> unmatched
+                ("s5", "400", None),   # null k2: fb2 must NOT fire; 2 cands -> unmatched
+            ],
+            columns=["probe_id", "k1", "k2"],
+        )
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("a:100:7", "100", "7"),
+                ("b:200:1", "200", "1"),
+                ("c:300:5", "300", "8"),   # designation 8 != id token 5
+                ("d:300:6", "300", "6"),
+                ("e:400:2", "400", "2"),
+                ("f:400:3", "400", "3"),
+            ],
+            columns=["build_id", "k1", "k2"],
+        )
+    )
+    out = strict_merge_with_fallbacks(probe, build).toPandas().set_index("probe_id")
+    assert out.loc["s1", "tier"] == "strict" and out.loc["s1", "build_id"] == "a:100:7"
+    assert out.loc["s2", "tier"] == "unique_by_key" and out.loc["s2", "build_id"] == "b:200:1"
+    assert out.loc["s3", "tier"] == "suffix_token" and out.loc["s3", "build_id"] == "c:300:5"
+    assert "s4" not in out.index and "s5" not in out.index

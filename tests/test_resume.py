@@ -56,3 +56,37 @@ def test_rerun_is_noop(spark, fixture_paths, nd_kwargs, tmp_path):
     w.run(dec)
     again = w.run(dec)
     assert again == {}
+
+
+def test_run_executes_plan_once(spark, tmp_path):
+    """The batch commit must execute the decisions plan ONCE — the old
+    writer ran one action per group (4 full passes here). An
+    accumulator inside the plan counts how many rows ever flow through
+    it; per-group footer counts must not touch the plan at all."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf(T.LongType())
+    def traced(col):
+        acc.add(len(col))
+        return col
+
+    # traced feeds a pure DATA column (not the partition/filter key —
+    # Catalyst legitimately duplicates pushed-down key expressions, which
+    # would double-count without meaning the plan ran twice)
+    dec = (
+        spark.range(0, 400)
+        .select(
+            F.concat(F.lit("img:"), traced(F.col("id")).cast("string")).alias(
+                "image_id"
+            ),
+            F.lit("keep").alias("decision"),
+            F.pmod(F.col("id"), F.lit(64)).cast("int").alias("part_bucket"),
+        )
+    )
+    w = CheckpointedWriter(str(tmp_path / "onejob"), n_groups=4)
+    counts = w.run(dec)
+    assert set(counts) == {0, 1, 2, 3} and sum(counts.values()) == 400
+    assert acc.value == 400, f"plan executed {acc.value / 400:.1f}x, expected 1x"

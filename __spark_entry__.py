@@ -696,6 +696,52 @@ def q47_null_last_page(spark, sf):
     )
 
 
+def q48_model_cascade(spark, sf):
+    """Model-path cascade graded END-TO-END: the NB langid and char-
+    bigram perplexity pandas-UDF signals feed a priority ladder
+    (empty -> too_short -> high_perplexity -> langid_mismatch -> keep);
+    the oracle re-derives BOTH trained models in SQL (_oracle_q48).
+    langid_mismatch is a label-noise detector: the synthetic corpus
+    carries intentionally noisy lang tags over English-ish text, so it
+    correctly fires on ~half the rows (NB avg conf 0.94 on flags).
+    Pipeline analog: plans/pipeline.run_pipeline(use_model_udfs=True)."""
+    from stop_sync_osm_atlas_spark.functions.langid import (
+        langid_hashed_ngram_udf,
+        train_langid_model_distributed,
+    )
+    from stop_sync_osm_atlas_spark.functions.perplexity import (
+        perplexity_udf,
+        train_char_bigram_distributed,
+    )
+
+    d = _t(spark, sf, "documents")
+    lid = langid_hashed_ngram_udf(train_langid_model_distributed(d))
+    ppl_udf = perplexity_udf(train_char_bigram_distributed(d))
+    cap = F.col("text")
+    scored = (
+        d.withColumn("_lid", lid(cap))
+        .withColumn("ppl", F.round(ppl_udf(cap), 4))
+        .withColumn("pred_lang", F.col("_lid.lang"))
+        .withColumn("nw", TX.n_words(cap))
+    )
+    rule = (
+        F.when(cap.isNull() | (F.trim(cap) == ""), F.lit("empty_caption"))
+        .when(F.col("nw") < 5, F.lit("caption_too_short"))
+        .when(F.col("ppl") > 6.0, F.lit("high_perplexity"))
+        .when(F.col("pred_lang") != F.col("lang"), F.lit("langid_mismatch"))
+        .otherwise(F.lit("keep"))
+    )
+    return scored.withColumn("rule", rule).select(
+        "doc_id",
+        "pred_lang",
+        "ppl",
+        "rule",
+        F.when(F.col("rule") == "keep", F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("decision"),
+    )
+
+
 def q41_perplexity_model(spark, sf):
     """KenLM-style char-bigram perplexity (Arrow pandas UDF), model
     trained deterministically from the corpus itself. The DuckDB oracle
@@ -898,17 +944,13 @@ WHERE round(list_dot_product(av, bv) /
 """
 
 
-def _oracle_q41() -> str:
-    """Full SQL re-derivation of the char-bigram perplexity model.
+# Shared CTE blocks: full SQL re-derivations of the two trained models
+# (used by q41, q42 and the q48 model cascade). Double arithmetic on
+# both sides makes round-4 scores hash-identical to the pandas UDFs.
 
-    Trains the same add-one-smoothed bigram model as
-    functions/perplexity.py (V=97 symbols: printable ASCII 32..126,
-    OOV bucket 95, BOS 96; first 512 chars per doc) and scores every
-    doc, all inside DuckDB. Double arithmetic on both sides makes the
-    round-4 scores hash-identical to the Spark pandas-UDF path.
-    """
-    return """
-WITH enc AS (
+# char-bigram perplexity (functions/perplexity.py): V=97 symbols
+# (printable ASCII 32..126, OOV 95, BOS 96), first 512 chars, add-one.
+_PPL_CTES = """enc AS (
   SELECT doc_id, i,
     lag(sym, 1, 96) OVER (PARTITION BY doc_id ORDER BY i) AS prev, sym AS cur
   FROM (
@@ -924,35 +966,26 @@ WITH enc AS (
 ),
 counts AS (SELECT prev, cur, count(*) AS n FROM enc GROUP BY prev, cur),
 row_tot AS (SELECT prev, sum(n) AS tot FROM counts GROUP BY prev),
-scored AS (
+ppl_scored AS (
   SELECT e.doc_id,
-    sum(ln((coalesce(c.n, 0) + 1.0) / (coalesce(rt.tot, 0) + 97.0))) AS ll,
-    count(*) AS n_chars
+    round(exp(-sum(ln((coalesce(c.n, 0) + 1.0) / (coalesce(rt.tot, 0) + 97.0)))
+              / count(*)), 4) AS ppl
   FROM enc e
   LEFT JOIN counts c ON c.prev = e.prev AND c.cur = e.cur
   LEFT JOIN row_tot rt ON rt.prev = e.prev
   GROUP BY e.doc_id
-)
-SELECT d.doc_id, round(exp(-s.ll / s.n_chars), 4) AS ppl
-FROM documents d LEFT JOIN scored s USING (doc_id)
-"""
+)"""
 
-
-def _oracle_q42() -> str:
-    """Full SQL re-derivation of the hashed-ngram NB language model.
-
-    Mirrors functions/langid.py exactly: char 1..3-grams over
-    '^'+lower(strip(text[:512]))+'$', FNV-1a-32 mod 2048 feature
-    hashing (list_reduce over UTF-8 bytes; corpus is ASCII so
-    unicode(char) == byte), add-one multinomial NB with doc-count+1
-    priors, softmax confidence, empty-text -> ('und', 0.0).
-    """
-    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
-    return f"""
-WITH prep AS (
+# hashed-ngram NB language model (functions/langid.py): char 1..3-grams
+# over '^'+lower(strip(text[:512]))+'$', FNV-1a-32 mod 2048 feature
+# hashing (list_reduce over UTF-8 bytes; corpus is ASCII so
+# unicode(char) == byte), add-one multinomial NB with doc-count+1
+# priors, softmax confidence, empty-text -> ('und', 0.0).
+_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+_NB_CTES = f"""prep AS (
   SELECT doc_id, lang,
-    trim(coalesce(text, ''), {ws}) <> '' AS nonempty,
-    '^' || trim(lower(substr(coalesce(text,''), 1, 512)), {ws}) || '$' AS s
+    trim(coalesce(text, ''), {_WS}) <> '' AS nonempty,
+    '^' || trim(lower(substr(coalesce(text,''), 1, 512)), {_WS}) || '$' AS s
   FROM documents
 ),
 grams AS (
@@ -1006,13 +1039,57 @@ scored AS (
     row_number() OVER (PARTITION BY doc_id ORDER BY logit DESC, cand ASC) AS rk
   FROM shifted
 ),
-best AS (SELECT doc_id, cand, p FROM scored WHERE rk = 1)
+best AS (SELECT doc_id, cand, p FROM scored WHERE rk = 1)"""
+
+
+def _oracle_q41() -> str:
+    return f"""
+WITH {_PPL_CTES}
+SELECT d.doc_id, s.ppl
+FROM documents d LEFT JOIN ppl_scored s USING (doc_id)
+"""
+
+
+def _oracle_q42() -> str:
+    return f"""
+WITH {_NB_CTES}
 SELECT d.doc_id, d.lang,
   CASE WHEN p.nonempty THEN b.cand ELSE 'und' END AS pred_lang,
   CASE WHEN p.nonempty THEN round(b.p, 4) ELSE 0.0 END AS conf
 FROM documents d
 JOIN prep p USING (doc_id)
 LEFT JOIN best b USING (doc_id)
+"""
+
+
+def _oracle_q48() -> str:
+    """Model-path cascade: both trained-model CTE blocks composed with
+    the rule CASE ladder (empty -> too_short -> high_perplexity ->
+    langid_mismatch -> keep), all re-derived in SQL."""
+    words = _sql_words("text")
+    return f"""
+WITH {_PPL_CTES},
+{_NB_CTES},
+sig AS (
+  SELECT d.doc_id, d.lang,
+    d.text IS NULL OR trim(d.text) = '' AS h_empty,
+    len({words}) < 5 AS h_short,
+    s.ppl,
+    CASE WHEN p.nonempty THEN b.cand ELSE 'und' END AS pred_lang
+  FROM documents d
+  JOIN prep p USING (doc_id)
+  LEFT JOIN ppl_scored s USING (doc_id)
+  LEFT JOIN best b USING (doc_id)
+)
+SELECT doc_id, pred_lang, ppl,
+  CASE WHEN h_empty THEN 'empty_caption'
+       WHEN h_short THEN 'caption_too_short'
+       WHEN ppl > 6.0 THEN 'high_perplexity'
+       WHEN pred_lang <> lang THEN 'langid_mismatch'
+       ELSE 'keep' END AS rule,
+  CASE WHEN h_empty OR h_short OR ppl > 6.0 OR pred_lang <> lang
+       THEN 'drop' ELSE 'keep' END AS decision
+FROM sig
 """
 
 
@@ -1197,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_hash_sample": q45_hash_sample,
         "q46_strict_merge": q46_strict_merge,
         "q47_null_last_page": q47_null_last_page,
+        "q48_model_cascade": q48_model_cascade,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1415,6 +1493,7 @@ FROM events GROUP BY 1, 2
         "q41_perplexity_model": _oracle_q41(),
         "q42_langid_nb": _oracle_q42(),
         "q44_banded_cosine_pairs": _oracle_q44(),
+        "q48_model_cascade": _oracle_q48(),
         "q46_strict_merge": """
 WITH probe AS (
   SELECT o_orderkey AS probe_id,

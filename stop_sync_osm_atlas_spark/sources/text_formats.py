@@ -92,3 +92,61 @@ def read_semicolon_csv(
     return spark.read.csv(
         path, sep=";", header=True, schema=schema or ATLAS_CSV_SCHEMA
     )
+
+
+OSM_NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.LongType()),
+        T.StructField("_lat", T.DoubleType()),
+        T.StructField("_lon", T.DoubleType()),
+        T.StructField(
+            "tag",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("_k", T.StringType()),
+                        T.StructField("_v", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def read_osm_xml(
+    spark: SparkSession,
+    path: str,
+    tag_keys: tuple[str, ...] = ("public_transport", "uic_ref", "name"),
+) -> DataFrame:
+    """OSM node XML -> (node_id, lat, lon, <one column per tag key>).
+
+    Spark-first recast of the reference's driver-side ElementTree loop
+    (reference get_osm_data.py:64-88: findall('.//node'), then a Python
+    pass over './tag' children pivoting selected k/v pairs). Here the
+    native XML source splits <node> elements across tasks, the explicit
+    schema skips inference entirely (SURVEY.md §1.3: no schema
+    inference, ever), and the k/v pivot is map_from_entries +
+    element_at — fine for ingestion (CodegenFallback on the map build
+    is irrelevant off the hot path; the scan parallelizes by file
+    split at 100 TB where the reference holds the whole country
+    in one ElementTree).
+    """
+    raw = (
+        spark.read.format("xml")
+        .option("rowTag", "node")
+        .schema(OSM_NODE_SCHEMA)
+        .load(path)
+    )
+    tags = F.coalesce(
+        F.col("tag"), F.array().cast(OSM_NODE_SCHEMA["tag"].dataType)
+    )
+    m = F.map_from_entries(
+        F.transform(tags, lambda t: F.struct(t["_k"].alias("k"), t["_v"].alias("v")))
+    )
+    cols = [
+        F.col("_id").alias("node_id"),
+        F.col("_lat").alias("lat"),
+        F.col("_lon").alias("lon"),
+    ] + [F.element_at(m, k).alias(k) for k in tag_keys]
+    return raw.select(*cols)

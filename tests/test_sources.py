@@ -90,3 +90,33 @@ def test_checkpoint_group_pruning(spark, fixture_paths, tmp_path):
     assert set(counts) == {0, 1, 3}
     total = w.read_all(spark).count()
     assert total == pairs.count()
+
+
+def test_read_osm_xml(spark, tmp_path):
+    """S4: OSM node XML with tag pivot (reference get_osm_data.py:64-88)."""
+    from stop_sync_osm_atlas_spark.sources.text_formats import read_osm_xml
+
+    xml = """<?xml version="1.0" encoding="UTF-8"?>
+<osm version="0.6">
+  <node id="101" lat="46.948" lon="7.447">
+    <tag k="public_transport" v="platform"/>
+    <tag k="uic_ref" v="8507000"/>
+    <tag k="name" v="Bern"/>
+  </node>
+  <node id="102" lat="47.378" lon="8.540">
+    <tag k="uic_ref" v="8503000"/>
+  </node>
+  <node id="103" lat="46.005" lon="8.953"/>
+</osm>
+"""
+    p = tmp_path / "nodes.xml"
+    p.write_text(xml)
+    out = read_osm_xml(spark, str(p)).toPandas().set_index("node_id").sort_index()
+    assert list(out.index) == [101, 102, 103]
+    assert out.loc[101, "public_transport"] == "platform"
+    assert out.loc[101, "uic_ref"] == "8507000"
+    assert out.loc[102, "uic_ref"] == "8503000"
+    assert pd.isna(out.loc[102, "name"])
+    # node with no tags at all -> all tag columns null
+    assert pd.isna(out.loc[103, "uic_ref"]) and pd.isna(out.loc[103, "name"])
+    assert abs(out.loc[103, "lat"] - 46.005) < 1e-9

@@ -183,6 +183,8 @@ def main() -> None:
         "q14_cascade_resolution", "q19_sessionize", "q20_doc_stats",
         "q23_quality_cascade", "q24_neardup", "q25_ngram_jaccard",
         "q26_minhash_lsh", "q30_cosine_topk", "q32_hourly_rollup",
+        "q44_banded_cosine_pairs", "q45_hash_sample", "q46_strict_merge",
+        "q48_model_cascade",
     ]
     qs = entry.queries()
     for name in headline:

@@ -86,13 +86,16 @@ def strict_merge_with_fallbacks(
     rem2 = rem1.join(
         uniq.select(F.col(probe_id).alias("_pid")), "_pid", "left_anti"
     )
-    last_tok = F.element_at(F.split(F.col("_bid"), ":"), -1)
+    # the id's last token joins as a SECOND equi key — a key1-only join
+    # with the token as a residual filter would build a
+    # |probe| x |candidates-per-key| intermediate (quadratic in group
+    # size); two-key hashing keeps it linear. Null k2 never equi-matches,
+    # which is exactly the reference's pd.notna(nref) gate.
+    bt = b.withColumn("_btok", F.element_at(F.split(F.col("_bid"), ":"), -1))
     suffix = (
         rem2.join(
-            b,
-            (F.col("_pk1") == F.col("_bk1"))
-            & F.col("_pk2").isNotNull()
-            & (last_tok == F.col("_pk2")),
+            bt,
+            (F.col("_pk1") == F.col("_bk1")) & (F.col("_pk2") == F.col("_btok")),
         )
         .groupBy("_pid")
         .agg(F.min("_bid").alias(build_id))

@@ -150,3 +150,56 @@ def read_osm_xml(
         F.col("_lon").alias("lon"),
     ] + [F.element_at(m, k).alias(k) for k in tag_keys]
     return raw.select(*cols)
+
+
+def read_zip_csv(
+    spark: SparkSession,
+    path: str,
+    inner_suffix: str,
+    schema: T.StructType,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV-inside-zip importer (S6, the local half).
+
+    The reference downloads GTFS/HRDF/ATLAS zips and extracts them on
+    the driver (reference get_atlas_data.py:114-163,578-656;
+    get_osm_data.py:14-50). The network fetch stays out of scope (the
+    engine's input is a table); the EXTRACTION is recast distributed:
+    ``binaryFile`` ships each zip to a task, and an Arrow batch opens
+    it in-memory and parses every member matching ``inner_suffix`` with
+    the supplied schema — no driver-side tempdir, no inference. One zip
+    archive = one task, so a directory of daily zips parallelizes by
+    file; a single giant zip is the degenerate case (document: re-pack
+    or pre-extract for split-level parallelism).
+    """
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    names = [f.name for f in schema.fields]
+
+    def _extract(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                with zipfile.ZipFile(io.BytesIO(row["content"])) as zf:
+                    for member in zf.namelist():
+                        if not member.endswith(inner_suffix):
+                            continue
+                        with zf.open(member) as fh:
+                            out = pd.read_csv(
+                                io.TextIOWrapper(fh, encoding="utf-8"),
+                                sep=sep,
+                                header=0,
+                                names=names,
+                                dtype=object,
+                            )
+                        yield out
+
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    parsed = raw.mapInPandas(
+        _extract, schema=T.StructType([T.StructField(f.name, T.StringType()) for f in schema.fields])
+    )
+    return parsed.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

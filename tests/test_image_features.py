@@ -70,3 +70,60 @@ def test_pixel_embedding_neardup(spark):
     got = set(zip(out["a_id"], out["b_id"]))
     assert ("a", "b") in got
     assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_video_frame_sampling(spark):
+    """Multimodal frame-sample plumbing: stride explode, corrupt guard,
+    deterministic frames (functions/video.py)."""
+    import pandas as pd
+
+    from stop_sync_osm_atlas_spark.functions.video import (
+        decode_video_header,
+        encode_video,
+        sample_frames,
+    )
+
+    rows = [
+        ("v1", encode_video(seed=7, w=16, h=8, n_frames=25)),
+        ("v2", encode_video(seed=9, w=8, h=8, n_frames=3)),
+        ("bad", b"\x00\x01garbage"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["video_id", "bytes"]))
+    out = sample_frames(df, stride=10).toPandas()
+    v1 = out[out.video_id == "v1"].sort_values("frame_idx")
+    assert list(v1.frame_idx) == [0, 10, 20] and v1.ok.all()
+    v2 = out[out.video_id == "v2"]
+    assert list(v2.frame_idx) == [0]
+    bad = out[out.video_id == "bad"]
+    assert len(bad) == 1 and not bad.ok.iloc[0]
+    # determinism: same container decodes to the same frame statistic
+    out2 = sample_frames(df, stride=10).toPandas()
+    m1 = out.sort_values(["video_id", "frame_idx"]).mean_gray.fillna(-1).tolist()
+    m2 = out2.sort_values(["video_id", "frame_idx"]).mean_gray.fillna(-1).tolist()
+    assert m1 == m2
+    assert decode_video_header(rows[0][1])[0] == 25
+
+
+def test_audio_features(spark):
+    """Multimodal audio plumbing: windowed features, corrupt guard
+    (functions/audio.py)."""
+    import pandas as pd
+
+    from stop_sync_osm_atlas_spark.functions.audio import (
+        audio_features,
+        encode_audio,
+    )
+
+    rows = [
+        ("a1", encode_audio(seed=3, sample_rate=8000, n_samples=16000)),
+        ("a2", encode_audio(seed=5, sample_rate=4000, n_samples=2000)),
+        ("bad", b"RIFFnope"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["audio_id", "bytes"]))
+    out = audio_features(df, window_s=0.5).toPandas().set_index("audio_id")
+    assert out.loc["a1", "ok"] and out.loc["a1", "duration_s"] == 2.0
+    assert out.loc["a1", "n_windows"] == 4
+    assert 0.1 < out.loc["a1", "rms"] < 0.9  # tone+noise, not silence/clipping
+    assert 0 < out.loc["a1", "zero_cross_rate"] < 1
+    assert out.loc["a2", "n_windows"] == 1
+    assert not out.loc["bad", "ok"]

@@ -120,3 +120,34 @@ def test_read_osm_xml(spark, tmp_path):
     # node with no tags at all -> all tag columns null
     assert pd.isna(out.loc[103, "uic_ref"]) and pd.isna(out.loc[103, "name"])
     assert abs(out.loc[103, "lat"] - 46.005) < 1e-9
+
+
+def test_read_zip_csv(spark, tmp_path):
+    """S6 (local half): distributed zip extraction with explicit schema."""
+    import zipfile
+
+    from pyspark.sql import types as T
+
+    from stop_sync_osm_atlas_spark.sources.text_formats import read_zip_csv
+
+    for day in (1, 2):
+        with zipfile.ZipFile(tmp_path / f"feed_{day}.zip", "w") as zf:
+            zf.writestr(
+                "stops.txt",
+                "stop_id,stop_name,stop_lat\n"
+                f"85{day}:0:1,Bern,46.948\n"
+                f"85{day}:0:2,Basel,47.547\n",
+            )
+            zf.writestr("ignore.bin", b"\x00\x01")
+    schema = T.StructType(
+        [
+            T.StructField("stop_id", T.StringType()),
+            T.StructField("stop_name", T.StringType()),
+            T.StructField("stop_lat", T.DoubleType()),
+        ]
+    )
+    out = read_zip_csv(spark, str(tmp_path / "*.zip"), "stops.txt", schema).toPandas()
+    assert len(out) == 4
+    assert set(out.stop_name) == {"Bern", "Basel"}
+    assert out.stop_lat.dtype == "float64"
+    assert sorted(out.stop_id)[0] == "851:0:1"

@@ -90,3 +90,79 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_exact_dedup(
+    spark: SparkSession, input_dir: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup: first caption fingerprint wins within the
+    watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming edition of operators/dedup.exact_dedup: the same md5
+    content fingerprint keys the state store, and the watermark bounds
+    state exactly like the batch op's corpus boundary — at 100 TB/day
+    the horizon is the dedup window, and the periodic batch compaction
+    (exact_dedup over the full table) removes cross-horizon survivors.
+    """
+    from ..functions.text import fingerprint
+
+    pairs = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
+    pairs = pairs.withColumn("ingest_ts", F.current_timestamp()).withColumn(
+        "fp", fingerprint(F.col("caption"), prefix_len=10_000)
+    )
+    return (
+        pairs.withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("image_id", "fp", "caption")
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession, input_dir: str, gap_s: int = 1800
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: the
+    streaming twin of the batch sessionizer (entry q19).
+
+    Per user, GroupState carries (last_ts, n_sessions, n_events) across
+    micro-batches; a >gap_s event-time silence starts a new session.
+    Within a batch, the group's events sort by (ts, event_id) — the
+    same total order as the batch window spec, so a single-batch run
+    reproduces q19's counts exactly (tested) and a multi-batch run is
+    the incremental continuation.
+    """
+    import pandas as _pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+
+    def _fn(key, pdfs, state):
+        if state.exists:
+            last_ts, n_sess, n_ev = state.get
+        else:
+            last_ts, n_sess, n_ev = None, 0, 0
+        chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
+        allof = _pd.concat(chunks).sort_values(["ts", "event_id"])
+        for t in allof["ts"]:
+            ts_s = t.timestamp()
+            if last_ts is None or ts_s - last_ts > gap_s:
+                n_sess += 1
+            last_ts = ts_s
+            n_ev += 1
+        state.update((float(last_ts), int(n_sess), int(n_ev)))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts double, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -131,3 +131,72 @@ def test_streaming_windowed_metrics(spark, fixture_paths, fixture_1k, tmp_path):
     assert q.lastProgress is None or True
     total = sum(p["numInputRows"] for p in q.recentProgress)
     assert total == len(fixture_1k.pairs)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == the batch window sessionizer
+    on a single micro-batch (streaming/stream.stream_sessionize)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from stop_sync_osm_atlas_spark.streaming.stream import stream_sessionize
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = str(tmp_path / "events_in")
+    spark.read.parquet(src).write.parquet(d)
+
+    q = (
+        stream_sessionize(spark, d)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM sess_stream").toPandas().set_index("user_id")
+
+    ev = spark.read.parquet(src)
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))
+    batch = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(got) == len(batch)
+    assert (got["n_sessions"].sort_index() == batch["n_sessions"].sort_index()).all()
+    assert (got["n_events"].sort_index() == batch["n_events"].sort_index()).all()
+    shutil.rmtree(d)
+
+
+def test_streaming_exact_dedup(spark, fixture_paths, tmp_path):
+    """dropDuplicatesWithinWatermark keeps exactly one row per content
+    fingerprint (streaming/stream.stream_exact_dedup)."""
+    import shutil
+
+    from stop_sync_osm_atlas_spark.streaming.stream import stream_exact_dedup
+
+    d = str(tmp_path / "pairs_in")  # FileStreamSource needs a directory
+    spark.read.parquet(fixture_paths["pairs"]).write.parquet(d)
+    q = (
+        stream_exact_dedup(spark, d)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT * FROM dedup_stream").toPandas()
+    n_in = spark.read.parquet(fixture_paths["pairs"]).count()
+    assert got["fp"].is_unique
+    assert 0 < len(got) < n_in  # planted near-dup clusters share captions
+    shutil.rmtree(d)

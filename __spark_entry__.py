@@ -524,7 +524,21 @@ def _derived_pairs(spark, sf):
         F.lit(64).cast("int").alias("h"),
         F.when(F.col("doc_id") % 97 == 0, F.lit("bmp")).otherwise(F.lit("png")).alias("fmt"),
         caption.alias("caption"),
-        ((F.col("doc_id") / F.lit(3)).cast("long") * F.lit(2654435761) + F.lit(12345)).alias("phash"),
+        # in every third group, the third member flips ONE low-window
+        # bit: its bucket differs from the group's, so the driver-graded
+        # q24 exercises the cross-bucket multi-probe bridge (cross-group
+        # Hamming stays >= 10, within-group <= 1 — checked over the id
+        # range; ~11% flip rate keeps the bridge workload realistic
+        # rather than all-rows-bridging pathological)
+        (
+            (F.col("doc_id") / F.lit(3)).cast("long") * F.lit(2654435761)
+            + F.lit(12345)
+        ).bitwiseXOR(
+            F.when(
+                F.col("doc_id") % 9 == 2,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 16 AS INT))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("phash"),
         F.col("doc_id"),
     )
 
@@ -564,7 +578,10 @@ def q23_quality_cascade(spark, sf):
 
 def q24_neardup(spark, sf):
     """phash-bucketed near-dup clustering (operators/neardup) over
-    planted identical-hash groups (doc_id // 3)."""
+    planted groups (doc_id // 3) whose third member flips one bucket-
+    window bit — the oracle asserts GROUND-TRUTH group clusters, so a
+    green row proves the cross-bucket multi-probe bridge recovers
+    them."""
     from stop_sync_osm_atlas_spark.operators.neardup import neardup_clusters
 
     pairs = _derived_pairs(spark, sf)
@@ -1435,14 +1452,13 @@ FROM fp
         "q23_quality_cascade": _oracle_q23(),
         "q24_neardup": """
 WITH pairs AS (
-  SELECT printf('doc:%06d', doc_id) AS image_id,
-    CAST(doc_id // 3 AS BIGINT) * 2654435761 + 12345 AS phash
+  SELECT printf('doc:%06d', doc_id) AS image_id, doc_id // 3 AS grp
   FROM documents
 )
 SELECT image_id,
-  min(image_id) OVER (PARTITION BY phash) AS cluster_id,
-  CAST(count(*) OVER (PARTITION BY phash) AS INT) AS cluster_size,
-  (image_id = min(image_id) OVER (PARTITION BY phash)) AS is_cluster_rep
+  min(image_id) OVER (PARTITION BY grp) AS cluster_id,
+  CAST(count(*) OVER (PARTITION BY grp) AS INT) AS cluster_size,
+  (image_id = min(image_id) OVER (PARTITION BY grp)) AS is_cluster_rep
 FROM pairs
 """,
         "q25_ngram_jaccard": _oracle_q25(),

@@ -175,3 +175,19 @@ def test_strict_merge_tiers(spark):
     assert out.loc["s2", "tier"] == "unique_by_key" and out.loc["s2", "build_id"] == "b:200:1"
     assert out.loc["s3", "tier"] == "suffix_token" and out.loc["s3", "build_id"] == "c:300:5"
     assert "s4" not in out.index and "s5" not in out.index
+
+
+def test_arrow_sketch_equals_expression_sketch(spark):
+    """The Arrow-batched hyperplane sketch must be bit-identical to the
+    Catalyst-expression reference implementation (signbit_sketch is the
+    SQL-shaped contract; signbit_sketch_udf is the hot path)."""
+    rng = np.random.default_rng(21)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    planes = SIM._hyperplanes(dim=16, n_planes=16, seed=7)
+    both = emb.select(
+        "vec_id",
+        SIM.signbit_sketch(F.col("embedding").cast("array<double>"), planes).alias("expr_sk"),
+        SIM.signbit_sketch_udf(planes)(F.col("embedding").cast("array<double>")).alias("arrow_sk"),
+    ).toPandas()
+    assert (both["expr_sk"] == both["arrow_sk"]).all()

@@ -713,6 +713,17 @@ def q47_null_last_page(spark, sf):
     )
 
 
+def q49_ivf_ann(spark, sf):
+    """IVF ANN: mini-Lloyd coarse quantizer + inverted bucket probe +
+    exact cosine re-rank (operators/similarity.ivf_cosine_topk); the
+    oracle unrolls the identical deterministic training in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, n_iters=2
+    )
+
+
 def q48_model_cascade(spark, sf):
     """Model-path cascade graded END-TO-END: the NB langid and char-
     bigram perplexity pandas-UDF signals feed a priority ladder
@@ -926,6 +937,74 @@ def _oracle_q22() -> str:
 WITH feat AS (SELECT lang, {words} AS w_arr FROM documents),
 lid AS (SELECT lang, {lang_selects} FROM feat)
 SELECT lang, {lang_case} AS pred, count(*) AS n FROM lid GROUP BY lang, pred
+"""
+
+
+def _oracle_q49() -> str:
+    """IVF ANN fully unrolled in SQL: init = 16 lowest-id vectors, two
+    Lloyd steps (assign by euclidean, tie on cid; per-dimension avg;
+    emptied clusters keep the previous centroid), final inverted index,
+    4-probe query, exact-cosine top-5 re-rank."""
+    dim, n_cent, n_probe, k = 64, 16, 4, 5
+
+    def assign(cname: str, aname: str) -> str:
+        return f"""{aname} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.v), c.cid
+      ) AS rn
+    FROM e CROSS JOIN {cname} c
+  ) WHERE rn = 1
+)"""
+
+    def update(aname: str, cprev: str, cname: str) -> str:
+        return f"""{cname}_m AS (
+  SELECT cid, u.i, avg(v[u.i]) AS m
+  FROM {aname}, (SELECT unnest(range(1, {dim + 1})) AS i) u
+  GROUP BY cid, u.i
+), {cname}_g AS (
+  SELECT cid, list(m ORDER BY i) AS v FROM {cname}_m GROUP BY cid
+), {cname} AS (
+  SELECT p.cid, coalesce(g.v, p.v) AS v
+  FROM {cprev} p LEFT JOIN {cname}_g g USING (cid)
+)"""
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM e ORDER BY vec_id LIMIT {n_cent}
+),
+{assign('c0', 'a1')},
+{update('a1', 'c0', 'c1')},
+{assign('c1', 'a2')},
+{update('a2', 'c1', 'c2')},
+{assign('c2', 'a3')},
+qp AS (
+  SELECT q_id, qv, cid FROM (
+    SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
+      row_number() OVER (
+        PARTITION BY q.vec_id ORDER BY list_distance(q.v, c.v), c.cid
+      ) AS rn
+    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+cands AS (
+  SELECT qp.q_id, qp.qv, a3.vec_id AS c_id, a3.v AS cv
+  FROM qp JOIN a3 ON a3.cid = qp.cid AND a3.vec_id <> qp.q_id
+),
+scored AS (
+  SELECT q_id, c_id,
+    round(list_dot_product(qv, cv) /
+      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+  FROM cands
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1292,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_strict_merge": q46_strict_merge,
         "q47_null_last_page": q47_null_last_page,
         "q48_model_cascade": q48_model_cascade,
+        "q49_ivf_ann": q49_ivf_ann,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1510,6 +1590,7 @@ FROM events GROUP BY 1, 2
         "q42_langid_nb": _oracle_q42(),
         "q44_banded_cosine_pairs": _oracle_q44(),
         "q48_model_cascade": _oracle_q48(),
+        "q49_ivf_ann": _oracle_q49(),
         "q46_strict_merge": """
 WITH probe AS (
   SELECT o_orderkey AS probe_id,

@@ -278,6 +278,96 @@ def cosine_neardup_pairs(
     )
 
 
+def _nearest_centroids_udf(centroids: np.ndarray, n: int):
+    """array<int> of the n nearest centroid ids (euclidean; ties break
+    on the lower centroid id — the same total order the SQL oracle's
+    ORDER BY dist, cid uses)."""
+    C = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _nc(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs.tolist():
+            x = np.asarray(v, np.float64)
+            d = np.sqrt(((C - x) ** 2).sum(axis=1))
+            order = np.lexsort((np.arange(len(C)), d))
+            out.append([int(c) for c in order[:n]])
+        return pd.Series(out)
+
+    return _nc
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: deterministic mini-Lloyd coarse quantizer -> inverted
+    bucket join -> exact cosine re-rank.
+
+    The third ANN path beside brute force (``cosine_topk``) and LSH
+    (``lsh_cosine_topk``): train ``n_centroids`` with ``n_iters`` Lloyd
+    steps (init = the n_centroids lowest-id vectors; an emptied cluster
+    keeps its previous centroid), index the corpus by nearest centroid
+    (one int per row), probe the ``n_probe`` nearest centroid buckets
+    per query. Fully deterministic — distance ties break on centroid
+    id — so the DuckDB oracle unrolls the identical training in SQL.
+    Training collects only k x dim aggregated means per iteration (the
+    same bounded-aggregate contract as the langid/perplexity trainers,
+    never raw vectors); at corpus scale the index is write-time
+    bucketing and a probe touches ~n_probe/n_centroids of the data.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    C = np.array(
+        [r["v"] for r in base.orderBy("id").limit(n_centroids).collect()],
+        dtype=np.float64,
+    )
+    for _ in range(n_iters):
+        assign = _nearest_centroids_udf(C, 1)
+        assigned = base.withColumn("cid", assign(F.col("v"))[0])
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        C = C.copy()
+        for r in means:
+            C[r["cid"], r["pos"]] = r["m"]
+    assign = _nearest_centroids_udf(C, 1)
+    indexed = base.select(
+        F.col("id").alias("c_id"),
+        F.col("v").alias("c_vec"),
+        assign(F.col("v"))[0].alias("cid"),
+    )
+    probes = _nearest_centroids_udf(C, n_probe)
+    qp = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("cid", F.explode(probes(F.col("q_vec"))))
+    cands = indexed.join(F.broadcast(qp), "cid").where(
+        F.col("q_id") != F.col("c_id")
+    )
+    scored = cands.select(
+        "q_id",
+        "c_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    win = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

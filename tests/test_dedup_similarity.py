@@ -191,3 +191,20 @@ def test_arrow_sketch_equals_expression_sketch(spark):
         SIM.signbit_sketch_udf(planes)(F.col("embedding").cast("array<double>")).alias("arrow_sk"),
     ).toPandas()
     assert (both["expr_sk"] == both["arrow_sk"]).all()
+
+
+def test_ivf_ann_recall(spark):
+    """IVF probes 4/16 buckets and must still recover most exact
+    neighbors (operators/similarity.ivf_cosine_topk)."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5).toPandas()
+    ivf = SIM.ivf_cosine_topk(emb, queries, k=5).toPandas()
+    e = set(zip(exact["q_id"], exact["c_id"]))
+    a = set(zip(ivf["q_id"], ivf["c_id"]))
+    assert a <= set(zip(ivf["q_id"], ivf["c_id"]))  # sanity
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, recall  # 4/16 euclidean probes on random vectors

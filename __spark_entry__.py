@@ -724,6 +724,29 @@ def q49_ivf_ann(spark, sf):
     )
 
 
+def q50_sequence_pack(spark, sf):
+    """Training-batch sequence packing: docs chunk into <=512-token
+    bins by exclusive-prefix token sum, parallel across langs
+    (operators/packing.pack_bins)."""
+    from stop_sync_osm_atlas_spark.operators.packing import pack_bins
+
+    d = _t(spark, sf, "documents")
+    return pack_bins(
+        d,
+        TX.token_count_bpe_ish(F.col("text")),
+        budget=512,
+        part_col="lang",
+        order_col="doc_id",
+    )
+
+
+def q51_embedding_quantize(spark, sf):
+    """Symmetric int8 embedding quantization stats (scale + L2
+    reconstruction error; operators/similarity.quantize_embeddings)."""
+    emb = _t(spark, sf, "embeddings")
+    return SIM.quantize_embeddings(emb)
+
+
 def q48_model_cascade(spark, sf):
     """Model-path cascade graded END-TO-END: the NB langid and char-
     bigram perplexity pandas-UDF signals feed a priority ladder
@@ -1372,6 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_null_last_page": q47_null_last_page,
         "q48_model_cascade": q48_model_cascade,
         "q49_ivf_ann": q49_ivf_ann,
+        "q50_sequence_pack": q50_sequence_pack,
+        "q51_embedding_quantize": q51_embedding_quantize,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1591,6 +1616,36 @@ FROM events GROUP BY 1, 2
         "q44_banded_cosine_pairs": _oracle_q44(),
         "q48_model_cascade": _oracle_q48(),
         "q49_ivf_ann": _oracle_q49(),
+        "q50_sequence_pack": f"""
+WITH toks AS (
+  SELECT lang, doc_id,
+    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+  FROM documents
+), binned AS (
+  SELECT lang, doc_id, tok,
+    CAST(floor(coalesce(sum(tok) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT lang, bin, count(*) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM binned GROUP BY lang, bin
+""",
+        "q51_embedding_quantize": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  round(CASE WHEN scale = 0 THEN 0.0 ELSE sqrt(list_aggregate(
+    list_transform(v, x -> pow(x - round(x / scale) * scale, 2)),
+    'sum')) END, 6) AS recon_err
+FROM s
+""",
         "q46_strict_merge": """
 WITH probe AS (
   SELECT o_orderkey AS probe_id,

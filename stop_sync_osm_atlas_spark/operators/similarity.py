@@ -278,6 +278,47 @@ def cosine_neardup_pairs(
     )
 
 
+def quantize_embeddings(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization stats (the ANN-memory
+    compression step of an embedding pipeline): scale = max|v| / 127,
+    q_i = round_half_away(v_i / scale), reported with the L2
+    reconstruction error. One Arrow matvec per batch; rounding is
+    half-away-from-zero to match SQL round() exactly (numpy's default
+    banker's rounding would diverge on exact .5 quotients).
+    """
+
+    @F.pandas_udf("struct<scale:double, recon_err:double>")
+    def _q(vecs: pd.Series) -> pd.DataFrame:
+        scales, errs = [], []
+        for v in vecs.tolist():
+            x = np.asarray(v, np.float64)
+            m = np.abs(x).max()
+            if m == 0:
+                scales.append(0.0)
+                errs.append(0.0)
+                continue
+            s = m / 127.0
+            r = x / s
+            q = np.sign(r) * np.floor(np.abs(r) + 0.5)
+            errs.append(float(np.sqrt(((x - q * s) ** 2).sum())))
+            scales.append(float(s))
+        return pd.DataFrame({"scale": scales, "recon_err": errs})
+
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        id_col,
+        _q(F.col("_v")).alias("_s"),
+    ).select(
+        id_col,
+        F.round(F.col("_s.scale"), 6).alias("scale"),
+        F.round(F.col("_s.recon_err"), 6).alias("recon_err"),
+    )
+
+
 def _nearest_centroids_udf(centroids: np.ndarray, n: int):
     """array<int> of the n nearest centroid ids (euclidean; ties break
     on the lower centroid id — the same total order the SQL oracle's

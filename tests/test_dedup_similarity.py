@@ -208,3 +208,40 @@ def test_ivf_ann_recall(spark):
     assert a <= set(zip(ivf["q_id"], ivf["c_id"]))  # sanity
     recall = len(e & a) / len(e)
     assert recall >= 0.3, recall  # 4/16 euclidean probes on random vectors
+
+
+def test_pack_bins_budget_and_order(spark):
+    """Sequence packing: cumulative chunking respects the budget except
+    for straddlers, never splits a doc, covers every doc exactly once."""
+    from stop_sync_osm_atlas_spark.operators.packing import pack_bins
+
+    rows = [(i, "g", 100 + (i % 7) * 40) for i in range(50)]  # tokens 100..340
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang", "tok"]))
+    out = (
+        pack_bins(docs, F.col("tok"), budget=512, part_col="lang", order_col="doc_id")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    assert out.n_docs.sum() == 50  # exactly once
+    # bins are contiguous doc ranges: next first_doc = prev last_doc + 1
+    assert (out.first_doc.iloc[1:].to_numpy() == out.last_doc.iloc[:-1].to_numpy() + 1).all()
+    # each bin starts before the budget line: total - last doc's tokens < 512
+    toks = dict(rows_to := {i: 100 + (i % 7) * 40 for i in range(50)})
+    for r in out.itertuples():
+        assert r.total_tokens - toks[r.last_doc] < 512
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """int8 quantization: recon error bounded by scale/2 * sqrt(dim),
+    zero vector handled."""
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(50)]
+    rows.append((99, [0.0] * 64))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    out = SIM.quantize_embeddings(emb).toPandas().set_index("vec_id")
+    assert out.loc[99, "scale"] == 0.0 and out.loc[99, "recon_err"] == 0.0
+    nz = out.drop(99)
+    assert (nz.scale > 0).all()
+    bound = nz.scale / 2 * np.sqrt(64) + 1e-9
+    assert (nz.recon_err <= bound).all()

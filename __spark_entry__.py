@@ -747,6 +747,15 @@ def q51_embedding_quantize(spark, sf):
     return SIM.quantize_embeddings(emb)
 
 
+def q52_tfidf_keywords(spark, sf):
+    """Per-doc top-3 TF-IDF keywords (operators/keywords.tfidf_topk):
+    pure-Catalyst explode + two aggs + window, ties on the term."""
+    from stop_sync_osm_atlas_spark.operators.keywords import tfidf_topk
+
+    d = _t(spark, sf, "documents")
+    return tfidf_topk(d, k=3)
+
+
 def q48_model_cascade(spark, sf):
     """Model-path cascade graded END-TO-END: the NB langid and char-
     bigram perplexity pandas-UDF signals feed a priority ladder
@@ -1397,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_ivf_ann": q49_ivf_ann,
         "q50_sequence_pack": q50_sequence_pack,
         "q51_embedding_quantize": q51_embedding_quantize,
+        "q52_tfidf_keywords": q52_tfidf_keywords,
         "q37_token_match": q37_token_match,
         "q38_viewport": q38_viewport,
     }
@@ -1616,6 +1626,23 @@ FROM events GROUP BY 1, 2
         "q44_banded_cosine_pairs": _oracle_q44(),
         "q48_model_cascade": _oracle_q48(),
         "q49_ivf_ann": _oracle_q49(),
+        "q52_tfidf_keywords": f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_sql_words('text')}) AS term FROM documents
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.id AS doc_id, tf.term,
+    round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+""",
         "q50_sequence_pack": f"""
 WITH toks AS (
   SELECT lang, doc_id,

@@ -1,0 +1,55 @@
+"""TF-IDF keyword extraction (text analysis for corpus curation).
+
+Per-document top-k terms by tf * ln(N / df) — the standard cheap
+signal for topic tagging, domain mixing, and dedup explainability in a
+training-data pipeline. Pure Catalyst: one explode, two aggregations,
+one window — no UDF, no driver state. Deterministic: score ties break
+on the term string, so the SQL oracle reproduces rows exactly.
+
+Scale shape (100 TB): the (doc, term) explode is the big intermediate
+(bounded by total token count); df is a tiny per-term aggregate that
+broadcasts back; the top-k window partitions by doc_id — no global
+sort, no skewed keys beyond stopword-like terms, which the ln(N/df)
+weight crushes anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.text import words
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, term, tfidf, rank): top-k terms per doc.
+
+    tf = in-document term count; idf = ln(N / df) with df = number of
+    documents containing the term; ties break (tfidf desc, term asc).
+    """
+    n_docs = docs.select(id_col).count()
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        F.col("id").alias(id_col),
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    win = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

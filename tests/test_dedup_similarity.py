@@ -245,3 +245,28 @@ def test_quantize_embeddings_error_bound(spark):
     assert (nz.scale > 0).all()
     bound = nz.scale / 2 * np.sqrt(64) + 1e-9
     assert (nz.recon_err <= bound).all()
+
+
+def test_tfidf_topk_semantics(spark):
+    """TF-IDF: corpus-wide terms score ~0, distinctive terms rank first,
+    ties break on the term string (operators/keywords.tfidf_topk)."""
+    from stop_sync_osm_atlas_spark.operators.keywords import tfidf_topk
+
+    rows = [
+        (1, "common common zebra zebra zebra"),
+        (2, "common yak"),
+        (3, "common ант"),  # distinct unicode term
+        (4, "common"),
+    ]
+    out = (
+        tfidf_topk(
+            spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])), k=2
+        )
+        .toPandas()
+    )
+    top = out[out["rank"] == 1].set_index("doc_id")
+    assert top.loc[1, "term"] == "zebra"  # tf=3, df=1 beats common (idf=0)
+    assert top.loc[2, "term"] == "yak"
+    # 'common' appears in every doc -> idf = ln(4/4) = 0 -> score 0
+    common = out[out.term == "common"]
+    assert (common.tfidf == 0.0).all()

@@ -184,7 +184,8 @@ def main() -> None:
         "q23_quality_cascade", "q24_neardup", "q25_ngram_jaccard",
         "q26_minhash_lsh", "q30_cosine_topk", "q32_hourly_rollup",
         "q44_banded_cosine_pairs", "q45_hash_sample", "q46_strict_merge",
-        "q48_model_cascade", "q49_ivf_ann",
+        "q48_model_cascade", "q49_ivf_ann", "q50_sequence_pack",
+        "q52_tfidf_keywords",
     ]
     qs = entry.queries()
     for name in headline:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.langid import langid_marker_cols
 from . import scrub as SCRUB
-from .neardup import neardup_clusters
+from .neardup import attach_clusters, neardup_phash_map
 from .rules import RuleConfig, metadata_rule_hits, signal_rule_hits, with_rule_resolution
 
 
@@ -75,7 +75,11 @@ def run_cascade(
 
     cfg = cfg or RuleConfig()
 
-    clusters = neardup_clusters(pairs, **(neardup_kwargs or {}))
+    # phash -> dup-cluster map, materialized up front on node-level data
+    # (neardup_phash_map docstring); attached below by a broadcast-able
+    # join on the phash column the rows already carry — no image_id
+    # shuffle of the wide decoded rows.
+    ph_map, n_map = neardup_phash_map(pairs, **(neardup_kwargs or {}))
     if use_decode:
         # fused prepare: bytes read exactly once; all text signals
         # computed in the same Arrow pass (see functions/image.py for
@@ -131,9 +135,7 @@ def run_cascade(
         mask = b if mask is None else mask.bitwiseOR(b)
     scored = scored.withColumn("_hits_mask", mask)
 
-    scored = scored.join(clusters, "image_id", "left").withColumn(
-        "is_cluster_rep", F.coalesce(F.col("is_cluster_rep"), F.lit(True))
-    )
+    scored = attach_clusters(scored, ph_map, n_map)
 
     hits = {
         name: F.col("_hits_mask").bitwiseAND(F.lit(1 << bit_of[name])) != 0

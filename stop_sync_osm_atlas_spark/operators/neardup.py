@@ -6,53 +6,76 @@ blocking; KDTree 50 m radius probe (reference spatial_index.py:21-42,
 distance_matching.py:459-514) -> Hamming-radius graph; per-group
 reciprocal/conflict-free assignment (reference
 distance_matching.py:220-377 process_group_matches, a genuinely
-non-relational per-group algorithm) -> per-bucket connected components
-in a grouped-map pandas UDF; best-match representative election + group
+non-relational per-group algorithm) -> per-group connected components
+in a batched pandas pass; best-match representative election + group
 propagation (reference matching_script.py:404-467) -> min-image_id rep
 election + decision propagation.
 
-Deterministic algorithm contract (mirrored 1:1 by oracle/oracle.py):
+Deterministic algorithm contract (mirrored 1:1 by oracle/oracle.py —
+stated over ROWS; the implementation computes it over DISTINCT hashes,
+which is observably identical, see "Node-level execution" below):
 
-1. ``bucket  = phash & (2^bits - 1)``.
-2. Buckets larger than ``hot_threshold`` are *salted* with a secondary
-   deterministic key ``sub = (phash >> bits) & (2^sub_bits - 1)``
-   (mandated skew handling: a Zipfian hot bucket — FIXTURES.md plants
-   one holding ~5% of rows — would otherwise pin a single task).
-3. Within each (bucket, sub): connected components over edges
+1. ``bucket = phash & (2^bits - 1)``.
+2. Cross-bucket recall, resolved UP FRONT as a partitioning decision:
+   buckets are linked into SUPERGROUPS by connected components over the
+   bucket-pair graph, where two buckets are linked iff some phash pair
+   within ``radius`` spans them and is discoverable by the configured
+   probe. ``bridge="multiprobe"`` (default) discovers pairs differing
+   in EXACTLY ONE bucket-window bit (explode ``phash_bucket_probes`` on
+   one side of a blocking join; pairs differing in >=2 window bits
+   whose buckets are not otherwise linked remain a documented
+   approximation). ``bridge="bands"`` splits the hash into four 16-bit
+   bands (band 0 IS the bucket window) and self-joins the three upper
+   bands: a cross-bucket pair within radius r <= 3 has >=1 differing
+   bit in band 0, hence <= 2 differing bits across the three upper
+   bands, hence at least one upper band EQUAL (pigeonhole) — full
+   cross-bucket pair discovery at the default radius. ``sg = min
+   bucket id`` of the component; unlinked buckets are their own
+   supergroup.
+3. Supergroups with more than ``hot_threshold`` ROWS are *salted* with
+   a secondary deterministic key ``sub = (phash >> bits) & (2^sub_bits
+   - 1)`` (mandated skew handling: a Zipfian hot bucket — FIXTURES.md
+   plants one holding ~5% of rows — would otherwise pin a single task).
+4. Within each (sg, sub): connected components over edges
    ``hamming(phash_i, phash_j) <= radius``.
-4. Component id = min image_id (string order) — the deterministic
+5. Component id = min image_id (string order) — the deterministic
    rep-election analog of min-by-distance (reference
    matching_script.py:409-431).
-5. Merge pass for salted buckets only: component reps re-cluster within
-   the bucket with threshold ``2*radius`` (star-shaped clusters — every
-   member within ``radius`` of a base — merge exactly; chain shapes may
-   split across salts: documented LSH-style approximation).
-6. Cross-bucket bridge (multi-probe): pairs within ``radius`` whose
-   hashes differ in EXACTLY ONE bucket-window bit are re-found by
-   exploding ``phash_bucket_probes`` (the bucket plus each 1-bit flip)
-   on one side of a second blocking join; the resulting edges between
-   pass-1/2 clusters are contracted by min-label propagation. Closes
-   the single-bucket recall hole for the dominant (1-bit-in-window)
-   case; pairs differing in ≥2 window bits remain a documented
-   approximation (full radius-3 recall would need C(16,3) probes or
-   4-band blocking with global connected components).
+6. Merge pass for salted supergroups only: component reps re-cluster
+   within the supergroup with threshold ``2*radius`` (star-shaped
+   clusters — every member within ``radius`` of a base — merge exactly;
+   chain shapes may split across salts: documented LSH-style
+   approximation, applying uniformly to within- and cross-bucket pairs
+   of a salted supergroup).
 
-Scale notes (100 TB): pass 1 shuffles the full table once on
-(bucket, sub) — the only full-data shuffle in the operator; pass 2
-touches reps of salted buckets only (orders of magnitude smaller). The
-bridge discovers edges on the DISTINCT (phash, bucket) projection of
-the input (exact dups collapse first — a viral image with 10^6 copies
-is one node, not 10^12 joined rows) with probe amplification on one
-side only, halved by the smaller-bucket-owns-the-pair filter. Cluster
-ids for the edges come from a MINI re-clustering of only the buckets an
-edge touches (pass 1/2 are bucket-local, so the subset reproduces the
-full run's ids exactly) — the main lineage stays lazy and its Python
-pass pipelines with the caller's other stages. The edge graph —
-cross-bucket near-dup cluster pairs, a vanishing fraction of rows — is
-contracted by a driver union-find below BRIDGE_DRIVER_CC_MAX edges,
-else by O(diameter) tiny-frame min-label iterations. The final attach
-is a broadcast-able join of (cluster -> merged cluster); AQE skew-join
-covers residual imbalance.
+Versus a post-hoc bridge that contracts pass-1 cluster ids after the
+fact (the previous design), folding cross-bucket recall into the
+partition key finds strictly more true pairs (any within-radius pair
+whose buckets are linked — even transitively — is compared directly),
+and removes an entire cluster-level connected-components stage from the
+plan.
+
+Node-level execution (the 100 TB contract): every pass runs on the
+DISTINCT-phash node table ``pc = (phash, cnt, rep=min(image_id))``, not
+on raw rows. Equal hashes always share bucket/sub and merge at distance
+0, so components over distinct hashes equal components over rows, and
+the component's min image_id = min over member hashes of per-hash
+min(image_id) — the observable output is row-identical while a viral
+image with 10^6 exact copies costs ONE node, never a 10^6-row O(n^2)
+task. Hot detection and the salting decision still use ROW counts (sum
+of cnt). The whole build runs as exactly TWO eager jobs: (1) a bounded
+collect of the DISTINCT bucket-pair graph (at most ~bits * 2^bits / 2
+pairs under multiprobe), which populates the `pc` cache as a side
+effect and is contracted by a driver union-find (distributed min-label
+fallback above SG_DRIVER_CC_MAX); (2) a localCheckpoint of the phash ->
+(cluster_id, cluster_size) map, shrunk to hashes in non-singleton
+clusters (the only rows whose attach differs from the defaults) — after
+which every internal cache is unpersisted. Attaching clusters to the
+full table is ONE left join against that materialized map (broadcast
+below ATTACH_BROADCAST_MAX_ROWS — the dup-cluster map of even a web
+corpus is a vanishing fraction of rows; above it, a plain join AQE can
+re-plan). Net full-data work: zero extra scans, zero full-row shuffles
+inside the operator.
 """
 
 from __future__ import annotations
@@ -72,10 +95,15 @@ from ..functions.phash import (
 
 DEFAULT_SUB_BITS = 8
 DEFAULT_HOT_THRESHOLD = 4096
-# Bridge edge graphs below this size are contracted on the driver (one
-# collect of the aggregated cluster-pair list); above it the
-# distributed min-label loop runs. 100k edges ≈ a few MB of ids.
-BRIDGE_DRIVER_CC_MAX = 100_000
+# Bucket-pair graphs below this size are contracted on the driver (one
+# bounded collect of the DISTINCT bucket-pair list — ints, a few MB at
+# the cap); above it the distributed min-label loop runs. Multiprobe
+# discovery cannot exceed bits * 2^bits / 2 pairs (~0.5M at bits=16).
+SG_DRIVER_CC_MAX = 2_000_000
+# The phash -> cluster map joins broadcast below this row count (the
+# map holds only hashes of multi-row clusters; its true size is known
+# exactly because it is materialized before the join is planned).
+ATTACH_BROADCAST_MAX_ROWS = 5_000_000
 
 
 _M1 = np.uint64(0x5555555555555555)
@@ -98,10 +126,10 @@ def _popcount64(a: np.ndarray) -> np.ndarray:
 def _components(phashes: np.ndarray, radius: int) -> tuple[np.ndarray, bool]:
     """Union-find connected components, O(n^2) Hamming within a group.
 
-    Groups are bounded by hot_threshold (pass 1) / rep count (pass 2),
-    so the quadratic stays in-cache per task. Returns (roots, merged):
-    merged=False means every row is its own component (the common case,
-    letting callers skip the min-per-component pass entirely).
+    Groups are bounded by hot_threshold DISTINCT hashes (pass 1) / rep
+    count (pass 2), so the quadratic stays in-cache per task. Returns
+    (roots, merged): merged=False means every row is its own component
+    (the common case, letting callers skip the min-per-component pass).
     """
     n = len(phashes)
     parent = np.arange(n)
@@ -126,14 +154,26 @@ def _components(phashes: np.ndarray, radius: int) -> tuple[np.ndarray, bool]:
     return np.array([find(i) for i in range(n)]), True
 
 
-def _cluster_partition(radius: int):
-    """mapInPandas partition function: one Python call per PARTITION.
+# Groups at or below this size are compared by the vectorized offset
+# pass (all pairs inside a group of size s are covered by row offsets
+# 1..s-1, so TINY-1 full-array shifted compares handle every tiny group
+# at once); only larger groups pay a per-group Python call. Web-corpus
+# buckets are overwhelmingly tiny, and the per-group call costs ~50 µs
+# of numpy dispatch — at ~65k groups/partition that loop was the
+# dominant cost of pass 1 before this split.
+_TINY_GROUP = 16
 
-    Input must be hash-partitioned AND sorted by (bucket, sub) so every
+
+def _cluster_partition(radius: int):
+    """mapInPandas partition function over phash NODES, one Python call
+    per PARTITION.
+
+    Input must be hash-partitioned AND sorted by (sg, sub) so every
     group is a contiguous slice. Grouped-map applyInPandas costs ~ms of
-    Arrow/pandas overhead per group; with millions of tiny buckets that
+    Arrow/pandas overhead per group; with millions of tiny groups that
     overhead dominates, so we batch all groups of a partition into one
-    call and slice with numpy (measured ~10x on the sf0.1 bench).
+    call, find edges for tiny groups with offset-vectorized compares,
+    and slice per group only above _TINY_GROUP.
     """
 
     def _fn(it):
@@ -141,33 +181,76 @@ def _cluster_partition(radius: int):
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        bucket = pdf["bucket"].to_numpy()
+        sg = pdf["sg"].to_numpy()
         sub = pdf["sub"].to_numpy()
         ph = pdf["phash"].to_numpy()
-        ids = pdf["image_id"].to_numpy(dtype=object)
-        out = ids.copy()  # default: own cluster (singleton groups)
-        change = np.flatnonzero((bucket[1:] != bucket[:-1]) | (sub[1:] != sub[:-1]))
+        reps = pdf["rep"].to_numpy(dtype=object)
+        n = len(pdf)
+        out = reps.copy()  # default: own cluster (singleton components)
+        change = np.flatnonzero((sg[1:] != sg[:-1]) | (sub[1:] != sub[:-1]))
         starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [len(pdf)]))
-        for s, e in zip(starts, ends):
-            if e - s < 2:
+        ends = np.concatenate((change + 1, [n]))
+        gsize = ends - starts
+        # group id and size per ROW
+        gid = np.zeros(n, dtype=np.int64)
+        gid[starts[1:]] = 1
+        gid = np.cumsum(gid)
+        rsize = gsize[gid]
+
+        x = ph.astype(np.uint64)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        merged_any = False
+        # tiny groups: offset-vectorized all-pairs (row i vs i+d is a
+        # within-group pair iff gid matches; offsets 1..s-1 cover every
+        # pair of a size-s group)
+        max_tiny = int(min(_TINY_GROUP, gsize.max() if len(gsize) else 1))
+        for d in range(1, max_tiny):
+            same = (gid[:-d] == gid[d:]) & (rsize[:-d] <= _TINY_GROUP)
+            if not same.any():
                 continue
+            dist_ok = _popcount64(np.bitwise_xor(x[:-d], x[d:])) <= radius
+            for i in np.nonzero(same & dist_ok)[0]:
+                ri, rj = find(int(i)), find(int(i) + d)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+                    merged_any = True
+        # large groups: per-group quadratic (bounded by the salting)
+        for g in np.nonzero(gsize > _TINY_GROUP)[0]:
+            s, e = int(starts[g]), int(ends[g])
             roots, any_merge = _components(ph[s:e], radius)
             if not any_merge:
-                continue  # all singleton components: out already == ids
-            grp = ids[s:e]
-            mins: dict[int, object] = {}
+                continue
+            merged_any = True
             for k, r in enumerate(roots):
-                v = grp[k]
+                ri, rj = find(s + k), find(s + int(r))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        if merged_any:
+            mins: dict[int, object] = {}
+            roots_all = np.array([find(i) for i in range(n)])
+            touched = np.nonzero(roots_all != np.arange(n))[0]
+            comp = set(roots_all[touched].tolist()) | set(touched.tolist())
+            for i in comp:
+                r = roots_all[i]
+                v = reps[i]
                 cur = mins.get(r)
                 if cur is None or v < cur:
                     mins[r] = v
-            out[s:e] = [mins[r] for r in roots]
+            for i in comp:
+                out[i] = mins[roots_all[i]]
         yield pd.DataFrame(
             {
-                "image_id": ids,
                 "phash": ph,
-                "bucket": bucket,
+                "cnt": pdf["cnt"].to_numpy(),
+                "rep": reps,
+                "sg": sg,
                 "is_hot": pdf["is_hot"].to_numpy(),
                 "local_cluster": out,
             }
@@ -176,223 +259,293 @@ def _cluster_partition(radius: int):
     return _fn
 
 
+def neardup_phash_map(
+    pairs: DataFrame,
+    bits: int = DEFAULT_BUCKET_BITS,
+    radius: int = DEFAULT_HAMMING_RADIUS,
+    sub_bits: int = DEFAULT_SUB_BITS,
+    hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    bridge: str = "multiprobe",
+) -> tuple[DataFrame, int]:
+    """pairs -> (phash -> cluster map, map row count).
+
+    The map holds ``(_nd_phash, _nd_cluster_id, _nd_cluster_size)`` for
+    exactly the hashes belonging to clusters of >= 2 rows; every other
+    row's cluster is itself (the attach default). The map is
+    localCheckpoint-ed (materialized, lineage cut) and all caches built
+    along the way are released before returning — repeated calls in a
+    long-lived session leak no executor storage.
+    """
+    mask = (1 << bits) - 1
+    sub_mask = (1 << sub_bits) - 1
+    spark = pairs.sparkSession
+
+    slim0 = pairs.select("image_id", "phash").where(F.col("phash").isNotNull())
+    # The node table: one row per distinct phash. The ONLY scan of the
+    # input this operator makes (2 pruned columns), aggregated once.
+    pc = (
+        slim0.groupBy("phash")
+        .agg(F.count("*").alias("cnt"), F.min("image_id").alias("rep"))
+        .withColumn(
+            "bucket", F.col("phash").bitwiseAND(F.lit(mask)).cast("int")
+        )
+        .persist()
+    )
+
+    # --- supergroup construction (contract step 2) ----------------------
+    # Distinct bucket pairs spanned by a discoverable within-radius phash
+    # pair. Lazy; the bounded collect below is eager job 1 and populates
+    # pc's cache as a side effect.
+    if bridge == "bands":
+        bpairs = _band_bucket_pairs(pc, bits, radius)
+    else:
+        probes = (
+            pc.select(
+                F.col("phash").alias("ph_a"),
+                F.explode(phash_bucket_probes(F.col("phash"), bits)).alias(
+                    "probe"
+                ),
+                F.col("bucket").alias("bucket_a"),
+                # each unordered pair surfaces once: the partner with the
+                # SMALLER bucket owns it, halving probe volume pre-join
+            )
+            .where(F.col("probe") > F.col("bucket_a"))
+        )
+        base = pc.select(
+            F.col("phash").alias("ph_b"), F.col("bucket").alias("bucket_b")
+        )
+        bpairs = (
+            probes.join(base, F.col("probe") == F.col("bucket_b"))
+            .where(hamming(F.col("ph_a"), F.col("ph_b")) <= F.lit(radius))
+            .select(
+                F.col("bucket_a").alias("a"), F.col("bucket_b").alias("b")
+            )
+            .distinct()
+        )
+    bp_rows = bpairs.limit(SG_DRIVER_CC_MAX + 1).collect()  # eager job 1
+    if not bp_rows:
+        sg_map = None
+    elif len(bp_rows) <= SG_DRIVER_CC_MAX:
+        sg_map = _driver_cc(bp_rows, spark)
+    else:
+        # pathological bucket graph (possible only with bands + extreme
+        # corpora): distributed min-label over <= 2^bits nodes
+        bpairs = bpairs.persist()
+        sg_map = _cc_min_label(bpairs)
+    if sg_map is None:
+        nodes = pc.withColumn("sg", F.col("bucket"))
+    else:
+        nodes = pc.join(
+            F.broadcast(sg_map), pc["bucket"] == sg_map["node"], "left"
+        ).select(
+            "phash",
+            "cnt",
+            "rep",
+            F.coalesce(sg_map["label"], pc["bucket"]).cast("int").alias("sg"),
+        )
+
+    # Per-supergroup ROW count (hot/salting contract) and distinct-hash
+    # count (the Python-pass group bound).
+    sizes = nodes.groupBy("sg").agg(
+        F.sum("cnt").alias("sg_n"), F.count("*").alias("dn")
+    )
+    nd = nodes.join(F.broadcast(sizes), "sg").withColumn(
+        "is_hot", F.col("sg_n") > F.lit(hot_threshold)
+    )
+    # Supergroups with ONE distinct hash never enter the Python path:
+    # all their rows share the hash, so the cluster is rep. This is the
+    # blocking no-op case the reference also short-circuits
+    # (exact_matching.py: groups with one candidate) — and it covers the
+    # viral-image case (10^6 copies = 1 node) too.
+    singles = nd.where(F.col("dn") == 1).select(
+        "phash",
+        "cnt",
+        "rep",
+        "sg",
+        F.lit(False).alias("is_hot"),
+        F.col("rep").alias("local_cluster"),
+    )
+    multi = nd.where(F.col("dn") >= 2)
+    shr = F.shiftrightunsigned(F.col("phash"), bits)
+    multi = multi.withColumn(
+        "sub",
+        F.when(
+            F.col("is_hot"), shr.bitwiseAND(F.lit(sub_mask)).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    pass1_schema = (
+        "phash long, cnt long, rep string, sg int, is_hot boolean,"
+        " local_cluster string"
+    )
+    local = (
+        multi.select("phash", "cnt", "rep", "sg", "is_hot", "sub")
+        .repartition("sg", "sub")
+        .sortWithinPartitions("sg", "sub")
+        .mapInPandas(_cluster_partition(radius), schema=pass1_schema)
+    )
+    # Pass 2 (salted supergroups only): merge sub-clusters via reps.
+    # Built unconditionally — with no hot supergroup `reps` is empty and
+    # the merge join is a broadcast-of-empty no-op, cheaper than the
+    # eager probe job a conditional branch would need. Diamond plan:
+    # `local` feeds both the rep extraction and the final join — persist
+    # so the Python pass runs once, not twice (Spark reuses exchanges,
+    # not post-shuffle Python stages).
+    local = local.unionByName(singles).persist()
+    # the member holding the component's min image_id is the one node
+    # whose per-hash min equals the local cluster id
+    reps = local.where(
+        F.col("is_hot") & (F.col("rep") == F.col("local_cluster"))
+    ).select("sg", F.col("local_cluster").alias("orig_local"), "phash")
+    merged = reps.groupBy("sg").applyInPandas(
+        lambda pdf: _merge_reps(pdf, 2 * radius),
+        schema="sg int, orig_local string, global_cluster string",
+    )
+    resolved = local.join(
+        F.broadcast(merged),
+        (local["sg"] == merged["sg"])
+        & (local["local_cluster"] == merged["orig_local"]),
+        "left",
+    ).select(
+        local["phash"],
+        local["cnt"],
+        F.coalesce(merged["global_cluster"], local["local_cluster"]).alias(
+            "cluster_id"
+        ),
+    )
+
+    # cluster ROW size at the node level (sum of per-hash counts), then
+    # shrink to the hashes whose attach differs from the defaults:
+    # everything in a 1-row cluster maps to itself.
+    win = W.partitionBy("cluster_id")
+    ph_map = (
+        resolved.withColumn("cluster_size", F.sum("cnt").over(win).cast("int"))
+        .where(F.col("cluster_size") >= 2)
+        .select(
+            F.col("phash").alias("_nd_phash"),
+            F.col("cluster_id").alias("_nd_cluster_id"),
+            F.col("cluster_size").alias("_nd_cluster_size"),
+        )
+    )
+    # eager job 2: materialize the map (node-level work only), cut the
+    # lineage, then release every cache the build held.
+    ph_map = ph_map.localCheckpoint(eager=True)
+    pc.unpersist()
+    local.unpersist()
+    if sg_map is not None and len(bp_rows) > SG_DRIVER_CC_MAX:
+        bpairs.unpersist()
+    n_map = ph_map.count()  # metadata-cheap on the checkpointed frame
+    return ph_map, n_map
+
+
+def attach_clusters(
+    df: DataFrame,
+    ph_map: DataFrame,
+    n_map: int,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Left-join the materialized phash map onto any frame carrying a
+    phash column; fills the singleton defaults (cluster = self, size 1).
+
+    Broadcast below ATTACH_BROADCAST_MAX_ROWS (n_map is the map's TRUE
+    materialized row count, not an estimate); above it a plain join —
+    AQE plans a shuffled join co-partitioned on the hash.
+    """
+    m = F.broadcast(ph_map) if n_map <= ATTACH_BROADCAST_MAX_ROWS else ph_map
+    cid = F.coalesce(F.col("_nd_cluster_id"), F.col(id_col))
+    return (
+        df.join(m, F.col(phash_col) == F.col("_nd_phash"), "left")
+        .withColumn("cluster_id", cid)
+        .withColumn(
+            "cluster_size", F.coalesce(F.col("_nd_cluster_size"), F.lit(1))
+        )
+        .withColumn("is_cluster_rep", F.col(id_col) == F.col("cluster_id"))
+        .drop("_nd_phash", "_nd_cluster_id", "_nd_cluster_size")
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame,
     bits: int = DEFAULT_BUCKET_BITS,
     radius: int = DEFAULT_HAMMING_RADIUS,
     sub_bits: int = DEFAULT_SUB_BITS,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
+    bridge: str = "multiprobe",
 ) -> DataFrame:
     """pairs -> (image_id, cluster_id, cluster_size, is_cluster_rep).
 
     Input needs (image_id, phash); all other columns are pruned before
-    the shuffle (shuffle only 2 columns of the 100 TB table, not bytes).
+    any shuffle. The full-table work is one left join against the
+    materialized dup-cluster map (usually broadcast — see
+    neardup_phash_map); rows with NULL phash are dropped, matching the
+    row-level contract.
     """
+    ph_map, n_map = neardup_phash_map(
+        pairs,
+        bits=bits,
+        radius=radius,
+        sub_bits=sub_bits,
+        hot_threshold=hot_threshold,
+        bridge=bridge,
+    )
+    slim0 = pairs.select("image_id", "phash").where(F.col("phash").isNotNull())
+    return attach_clusters(slim0, ph_map, n_map).select(
+        "image_id", "cluster_id", "cluster_size", "is_cluster_rep"
+    )
+
+
+def _band_bucket_pairs(pc: DataFrame, bits: int, radius: int) -> DataFrame:
+    """Full-recall bucket-pair discovery via upper-band blocking.
+
+    Splits the 64-bit hash into 64/bits bands (band 0 = the bucket
+    window) and self-joins the node table on each UPPER band key. Any
+    cross-bucket pair within radius <= (number of upper bands) shares
+    at least one upper band exactly (pigeonhole), so every such pair is
+    discovered — closing the >=2-window-bit residual the multi-probe
+    bridge documents. Band keys are the skew dial: a pathological band
+    value collapses many hashes into one join key; keys here are 16-bit
+    (65k values), the same width the bucket pass already relies on.
+    """
+    n_upper = (64 // bits) - 1
+    out = None
     mask = (1 << bits) - 1
-    sub_mask = (1 << sub_bits) - 1
-    slim0 = pairs.select(
-        "image_id",
-        "phash",
-        F.col("phash").bitwiseAND(F.lit(mask)).cast("int").alias("bucket"),
-    ).where(F.col("phash").isNotNull())
-    slim = slim0
-
-    # Bucket-size pre-count: tiny (<= 2^bits rows) -> broadcast join back.
-    # Persisted because it feeds two consumers (the broadcast join and
-    # the has_hot probe below) — without the cache the slim projection
-    # would be scanned and shuffled twice.
-    sizes = (
-        slim.groupBy("bucket").agg(F.count("*").alias("bucket_n")).persist()
-    )
-    slim = slim.join(F.broadcast(sizes), "bucket").withColumn(
-        "is_hot", F.col("bucket_n") > F.lit(hot_threshold)
-    )
-
-    # Pass 2 gate: a tiny driver-side probe on the persisted
-    # (<= 2^bits row) sizes aggregate.
-    has_hot = sizes.where(F.col("bucket_n") > F.lit(hot_threshold)).limit(1).count() > 0
-
-    def _pass12(sl: DataFrame) -> DataFrame:
-        """(image_id, phash, bucket, bucket_n, is_hot) -> resolved
-        (image_id, phash, bucket, cluster_id).
-
-        Bucket-local by construction: running it on any bucket-closed
-        subset reproduces the full run's cluster ids for those buckets
-        exactly (pass 3 below exploits this to stay lazy).
-        """
-        # Singleton buckets (the overwhelming majority of a web corpus)
-        # never enter the Python clustering path: their cluster is
-        # themselves. This is the blocking no-op case the reference also
-        # short-circuits (exact_matching.py: groups with one candidate).
-        singles = sl.where(F.col("bucket_n") == 1).select(
-            "image_id",
-            "phash",
-            "bucket",
-            F.lit(False).alias("is_hot"),
-            F.col("image_id").alias("local_cluster"),
+    for k in range(1, n_upper + 1):
+        key = (
+            F.shiftrightunsigned(F.col("phash"), bits * k)
+            .bitwiseAND(F.lit(mask))
+            .cast("int")
         )
-        multi = sl.where(F.col("bucket_n") >= 2)
-        shr = F.shiftrightunsigned(F.col("phash"), bits)
-        multi = multi.withColumn(
-            "sub",
-            F.when(
-                F.col("is_hot"), shr.bitwiseAND(F.lit(sub_mask)).cast("int")
-            ).otherwise(F.lit(0)),
+        kn = pc.select(F.col("phash"), F.col("bucket"), key.alias("bandkey"))
+        a = kn.select(
+            F.col("phash").alias("ph_a"),
+            F.col("bucket").alias("bucket_a"),
+            F.col("bandkey").alias("bk_a"),
         )
-        pass1_schema = (
-            "image_id string, phash long, bucket int, is_hot boolean,"
-            " local_cluster string"
+        b = kn.select(
+            F.col("phash").alias("ph_b"),
+            F.col("bucket").alias("bucket_b"),
+            F.col("bandkey").alias("bk_b"),
         )
-        local = (
-            multi.select("image_id", "phash", "bucket", "is_hot", "sub")
-            .repartition("bucket", "sub")
-            .sortWithinPartitions("bucket", "sub")
-            .mapInPandas(_cluster_partition(radius), schema=pass1_schema)
-        )
-        local = local.unionByName(singles)
-
-        # Pass 2 (salted hot buckets only): merge sub-clusters via reps.
-        if not has_hot:
-            return local.select(
-                "image_id",
-                "phash",
-                "bucket",
-                F.col("local_cluster").alias("cluster_id"),
+        e = (
+            a.join(b, F.col("bk_a") == F.col("bk_b"))
+            .where(
+                (F.col("bucket_a") < F.col("bucket_b"))
+                & (hamming(F.col("ph_a"), F.col("ph_b")) <= F.lit(radius))
             )
-        # diamond plan: `local` feeds both the rep extraction and the
-        # final join — persist so the Python pass 1 runs once, not twice
-        # (Spark reuses exchanges, not post-shuffle Python stages)
-        local = local.persist()
-        reps = local.where(
-            F.col("is_hot") & (F.col("image_id") == F.col("local_cluster"))
-        ).select("bucket", F.col("local_cluster").alias("orig_local"), "phash")
-        merged = reps.groupBy("bucket").applyInPandas(
-            lambda pdf: _merge_reps(pdf, 2 * radius),
-            schema="bucket int, orig_local string, global_cluster string",
+            .select(F.col("bucket_a").alias("a"), F.col("bucket_b").alias("b"))
         )
-        return local.join(
-            merged,
-            (local["bucket"] == merged["bucket"])
-            & (local["local_cluster"] == merged["orig_local"]),
-            "left",
-        ).select(
-            local["image_id"],
-            local["phash"],
-            local["bucket"],
-            F.coalesce(merged["global_cluster"], local["local_cluster"]).alias(
-                "cluster_id"
-            ),
-        )
-
-    resolved = _pass12(slim)
-
-    # Pass 3: cross-bucket bridge. Re-find pairs whose hashes differ in
-    # exactly one bucket-window bit (the dominant recall miss of any
-    # single-bucket blocking). Edge DISCOVERY runs on the distinct-phash
-    # projection of the INPUT — not on pass-1 output — so the common
-    # no-cross-pair case costs one slim probe join and never eagerly
-    # materializes the Python clustering stage. Deduping by phash first
-    # also bounds the probe join: a viral image with 10^6 exact copies
-    # contributes ONE node, not 10^12 joined rows.
-    ph_nodes = slim0.select("phash", "bucket").distinct()
-    probes = ph_nodes.select(
-        F.col("phash").alias("ph_a"),
-        F.explode(phash_bucket_probes(F.col("phash"), bits)).alias("probe"),
-        F.col("bucket").alias("bucket_a"),
-        # each unordered cross-bucket pair surfaces exactly once: the
-        # partner with the SMALLER bucket owns it, so keep only probes
-        # that increase the bucket value — this also halves the probe
-        # shuffle volume before the join (filter runs pre-exchange)
-    ).where(F.col("probe") > F.col("bucket_a")).drop("bucket_a")
-    base = ph_nodes.select(
-        F.col("phash").alias("ph_b"), F.col("bucket").alias("bucket_b")
-    )
-    img_edges = (
-        probes.join(base, F.col("probe") == F.col("bucket_b"))
-        .where(hamming(F.col("ph_a"), F.col("ph_b")) <= F.lit(radius))
-        .select("ph_a", "ph_b")
-        .persist()
-    )
-    n_img_edges = img_edges.count()
-    if n_img_edges > 0:
-        # Mini re-clustering of ONLY the buckets an edge touches: pass
-        # 1/2 are bucket-local, so re-running them on the bucket-closed
-        # subset reproduces the full run's cluster ids for those buckets
-        # exactly. This keeps the MAIN lineage lazy — its Python pass
-        # pipelines with the caller's other stages (e.g. image decode in
-        # the cascade) instead of being materialized eagerly here.
-        eb = (
-            img_edges.select(
-                F.col("ph_a").bitwiseAND(F.lit(mask)).cast("int").alias("bucket")
-            )
-            .unionByName(
-                img_edges.select(
-                    F.col("ph_b").bitwiseAND(F.lit(mask)).cast("int").alias("bucket")
-                )
-            )
-            .distinct()
-        )
-        mini = _pass12(slim.join(F.broadcast(eb), "bucket"))
-        # phash -> cluster is functional (equal hashes share bucket and
-        # always merge in pass 1), so a distinct projection maps the
-        # phash-level edges to cluster-level edges.
-        ph2cl = mini.select("phash", "cluster_id").distinct()
-        a = ph2cl.select(
-            F.col("phash").alias("ph_a"), F.col("cluster_id").alias("cluster_a")
-        )
-        b = ph2cl.select(
-            F.col("phash").alias("ph_b"), F.col("cluster_id").alias("cluster_b")
-        )
-        edges = (
-            img_edges.join(a, "ph_a")
-            .join(b, "ph_b")
-            .where(F.col("cluster_a") != F.col("cluster_b"))
-            .select(
-                F.least("cluster_a", "cluster_b").alias("a"),
-                F.greatest("cluster_a", "cluster_b").alias("b"),
-            )
-            .distinct()
-        )
-        if n_img_edges <= BRIDGE_DRIVER_CC_MAX:
-            # The edge list is an AGGREGATED distinct cluster-pair graph
-            # (never raw rows, and no larger than n_img_edges); under the
-            # cap a single bounded collect + driver union-find replaces
-            # the iterative job loop.
-            mapping = _driver_cc(edges)
-        else:
-            mapping = _cc_min_label(edges.persist())
-        resolved = resolved.join(
-            # bounded by the number of cross-bucket near-dup clusters —
-            # a vanishing fraction of the corpus, safe to broadcast
-            F.broadcast(mapping),
-            resolved["cluster_id"] == mapping["node"],
-            "left",
-        ).select(
-            resolved["image_id"],
-            F.coalesce(mapping["label"], resolved["cluster_id"]).alias("cluster_id"),
-        )
-    else:
-        resolved = resolved.select("image_id", "cluster_id")
-    img_edges.unpersist()
-
-    # cluster size + rep flag in ONE shuffle (window over cluster_id)
-    win = W.partitionBy("cluster_id")
-    return resolved.select(
-        "image_id",
-        "cluster_id",
-        F.count("*").over(win).cast("int").alias("cluster_size"),
-        (F.col("image_id") == F.col("cluster_id")).alias("is_cluster_rep"),
-    )
+        out = e if out is None else out.unionByName(e)
+    return out.distinct()
 
 
-def _driver_cc(edges: DataFrame) -> DataFrame:
+def _driver_cc(rows: list, spark) -> DataFrame:
     """Union-find on a small collected edge list -> (node, label) frame.
 
     Same contract as _cc_min_label (label = min node id of the
-    component); used below BRIDGE_DRIVER_CC_MAX where a Python loop
-    beats several distributed join jobs.
+    component); used below SG_DRIVER_CC_MAX where a Python loop beats
+    several distributed join jobs. Takes the already-collected rows so
+    the edge-discovery job is never run twice.
     """
-    rows = edges.collect()
     idx: dict[object, int] = {}
     for r in rows:
         idx.setdefault(r["a"], len(idx))
@@ -421,7 +574,7 @@ def _driver_cc(edges: DataFrame) -> DataFrame:
             "label": [comp_min[find(i)] for i in idx.values()],
         }
     )
-    return edges.sparkSession.createDataFrame(out)
+    return spark.createDataFrame(out)
 
 
 def _cc_min_label(edges: DataFrame) -> DataFrame:
@@ -429,9 +582,9 @@ def _cc_min_label(edges: DataFrame) -> DataFrame:
 
     Min-label propagation to fixpoint: every node ends with the minimum
     node id of its component — the same rep-election contract as the
-    per-bucket union-find. Caller persists `edges`; each iteration
+    per-group union-find. Caller persists `edges`; each iteration
     localCheckpoints the <=|V|-row label frame so lineage stays flat.
-    Iteration count = graph diameter (bridge graphs are tiny stars).
+    Iteration count = graph diameter (bucket-pair graphs are tiny).
     """
     und = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -473,7 +626,7 @@ def _merge_reps(pdf: pd.DataFrame, radius2: int) -> pd.DataFrame:
     )
     return pd.DataFrame(
         {
-            "bucket": pdf["bucket"].to_numpy(),
+            "sg": pdf["sg"].to_numpy(),
             "orig_local": pdf["orig_local"].to_numpy(dtype=object),
             "global_cluster": glob,
         }

@@ -91,28 +91,65 @@ def neardup_oracle(
     radius: int = 3,
     sub_bits: int = 8,
     hot_threshold: int = 4096,
+    bridge: str = "multiprobe",
 ) -> pd.DataFrame:
-    """Same deterministic contract as operators/neardup.py, in pandas."""
+    """Same deterministic contract as operators/neardup.py, in pandas.
+
+    Step order mirrors the engine: (1) bucket, (2) supergroups from the
+    bucket-pair graph of discoverable within-radius pairs (multiprobe:
+    exactly-one-window-bit diffs; bands: any cross-bucket pair within
+    radius), (3) salting of hot supergroups by ROW count, (4)
+    components within (sg, sub), (5) min-image_id labels, (6) 2*radius
+    rep merge within hot supergroups.
+    """
     df = pairs[["image_id", "phash"]].dropna(subset=["phash"]).copy()
     ph = df["phash"].to_numpy().astype(np.uint64)
     mask = np.uint64((1 << bits) - 1)
+    imask = (1 << bits) - 1
     df["bucket"] = (ph & mask).astype(np.int64)
-    sizes = df.groupby("bucket")["image_id"].transform("size")
+
+    # supergroups: union-find over buckets linked by a discoverable pair
+    # (computed over DISTINCT hashes, like the engine's node table)
+    nodes = df[["phash", "bucket"]].drop_duplicates()
+    nph = nodes["phash"].to_numpy().astype(np.uint64)
+    nbk = nodes["bucket"].to_numpy()
+    bparent: dict[int, int] = {}
+
+    def _bfind(b: int) -> int:
+        while bparent.get(b, b) != b:
+            bparent[b] = bparent.get(bparent[b], bparent[b])
+            b = bparent[b]
+        return b
+
+    for i in range(len(nodes)):
+        for j in range(i + 1, len(nodes)):
+            x = int(nph[i] ^ nph[j])
+            if _popcount(x) > radius:
+                continue
+            wb = _popcount(x & imask)
+            linked = wb == 1 if bridge == "multiprobe" else wb >= 1
+            if linked:
+                ri, rj = _bfind(int(nbk[i])), _bfind(int(nbk[j]))
+                if ri != rj:
+                    bparent[max(ri, rj)] = min(ri, rj)
+    df["sg"] = df["bucket"].map(lambda b: _bfind(int(b)))
+
+    sizes = df.groupby("sg")["image_id"].transform("size")
     df["is_hot"] = sizes > hot_threshold
     sub = (ph >> np.uint64(bits)) & np.uint64((1 << sub_bits) - 1)
     df["sub"] = np.where(df["is_hot"], sub.astype(np.int64), 0)
 
     df["local_cluster"] = ""
-    for (_, _), g in df.groupby(["bucket", "sub"]):
+    for (_, _), g in df.groupby(["sg", "sub"]):
         roots = _components([int(x) for x in g["phash"].astype(np.uint64)], radius)
         ids = g["image_id"].to_numpy(dtype=object)
         comp_min = pd.Series(ids).groupby(roots).transform("min").to_numpy()
         df.loc[g.index, "local_cluster"] = comp_min
 
-    # pass 2: merge hot-bucket sub-clusters via reps, threshold 2*radius
+    # pass 2: merge hot-supergroup sub-clusters via reps, threshold 2*radius
     df["cluster_id"] = df["local_cluster"]
     hot = df[df["is_hot"]]
-    for bucket, g in hot.groupby("bucket"):
+    for sg, g in hot.groupby("sg"):
         reps = g[g["image_id"] == g["local_cluster"]]
         roots = _components(
             [int(x) for x in reps["phash"].astype(np.uint64)], 2 * radius
@@ -120,45 +157,8 @@ def neardup_oracle(
         loc = reps["local_cluster"].to_numpy(dtype=object)
         glob = pd.Series(loc).groupby(roots).transform("min").to_numpy()
         m = dict(zip(loc, glob))
-        sel = df["bucket"] == bucket
+        sel = df["sg"] == sg
         df.loc[sel, "cluster_id"] = df.loc[sel, "local_cluster"].map(m)
-
-    # pass 3: cross-bucket bridge — pairs within `radius` differing in
-    # EXACTLY ONE bucket-window bit merge their clusters (multi-probe
-    # contract of operators/neardup.py pass 3); ≥2 window-bit diffs stay
-    # unbridged on both sides (documented approximation).
-    nodes = df[["phash", "bucket", "cluster_id"]].drop_duplicates()
-    nph = nodes["phash"].to_numpy().astype(np.uint64)
-    ncl = nodes["cluster_id"].to_numpy(dtype=object)
-    cl_ids = sorted(set(ncl))
-    idx = {c: i for i, c in enumerate(cl_ids)}
-    parent = list(range(len(cl_ids)))
-
-    def _find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    imask = (1 << bits) - 1
-    for i in range(len(nodes)):
-        for j in range(i + 1, len(nodes)):
-            x = int(nph[i] ^ nph[j])
-            if (
-                _popcount(x & imask) == 1
-                and _popcount(x) <= radius
-                and ncl[i] != ncl[j]
-            ):
-                ri, rj = _find(idx[ncl[i]]), _find(idx[ncl[j]])
-                if ri != rj:
-                    parent[max(ri, rj)] = min(ri, rj)
-    comp_min: dict[int, object] = {}
-    for c in cl_ids:
-        r = _find(idx[c])
-        cur = comp_min.get(r)
-        if cur is None or c < cur:
-            comp_min[r] = c
-    df["cluster_id"] = df["cluster_id"].map(lambda c: comp_min[_find(idx[c])])
 
     sizes2 = df.groupby("cluster_id")["image_id"].transform("size")
     df["cluster_size"] = sizes2.astype(int)

@@ -84,7 +84,10 @@ def test_distributed_cc_equals_driver_cc(spark):
         "a string, b string",
     ).persist()
     dist = {r["node"]: r["label"] for r in _cc_min_label(edges).collect()}
-    drv = {r["node"]: r["label"] for r in _driver_cc(edges).collect()}
+    drv = {
+        r["node"]: r["label"]
+        for r in _driver_cc(edges.collect(), spark).collect()
+    }
     assert dist == drv
     assert dist["n3"] == "n0" and dist["n12"] == "n10" and dist["n21"] == "n20"
 

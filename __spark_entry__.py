@@ -390,15 +390,18 @@ def q35_grouped_collect(spark, sf):
 
 
 def q39_pagination(spark, sf):
-    """O3: deterministic offset/limit pagination (the two-phase
-    paginated review endpoint analog, reference problems.py:196-266 —
-    obsolete two-phase trick replaced by native offset pushdown)."""
-    o = _t(spark, sf, "orders")
+    """O2+O3: deterministic offset/limit pagination across a
+    null-handling sort (reference problems.py:196-266 two-phase
+    paginated endpoint, replaced by native offset pushdown; and
+    problems.py:198-209 coalesce(distance, sentinel) ordering as
+    DESC NULLS LAST with deterministic tiebreak)."""
+    e = _t(spark, sf, "events")
+    dist = F.when(F.col("event_id") % 500 == 0, F.col("value"))
     return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .offset(20)
-        .limit(10)
-        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        e.select("event_id", F.round(dist, 2).alias("dist"))
+        .orderBy(F.desc_nulls_last("dist"), F.asc("event_id"))
+        .offset(10)
+        .limit(25)
     )
 
 
@@ -609,34 +612,50 @@ def q27_simhash(spark, sf):
     return DD.simhash_table(d)
 
 
-def q28_scrub(spark, sf):
+def q28_scrub_fingerprint(spark, sf):
     """Regex PII/toxicity scrub (operators/scrub) over captions with
-    planted PII."""
+    planted PII, plus the rolling/prefix document fingerprint
+    (functions/text.fingerprint) — the per-document scalar pass of the
+    curation pipeline, one scan."""
     pairs = _derived_pairs(spark, sf)
-    return pairs.select(
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    scrubbed = pairs.select(
         "doc_id",
         SC.scrubbed_caption(F.col("caption")).alias("caption_scrubbed"),
         SC.scrub_hit(F.col("caption")).alias("was_scrubbed"),
     )
-
-
-def q29_fingerprint(spark, sf):
-    """Rolling/prefix document fingerprint (functions/text.fingerprint)."""
-    d = _t(spark, sf, "documents")
-    return d.select("doc_id", TX.fingerprint(F.col("text"), 64).alias("fp"))
+    fp = d.select("doc_id", TX.fingerprint(F.col("text"), 64).alias("fp"))
+    return scrubbed.join(fp, "doc_id")
 
 
 # ---------------------------------------------------------------------------
 # embeddings: similarity search
 # ---------------------------------------------------------------------------
 
-def q30_cosine_topk(spark, sf):
-    """Brute-force cosine top-k (operators/similarity.cosine_topk)."""
-    emb = _t(spark, sf, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+def q30_ann_methods(spark, sf):
+    """ANN over the embedding corpus, all three engine methods in one
+    graded frame: brute-force exact cosine top-k (the exactness
+    baseline; operators/similarity.cosine_topk), hyperplane-LSH
+    (lsh_cosine_topk), and IVF with a mini-Lloyd coarse quantizer +
+    bucket probe + exact re-rank (ivf_cosine_topk). The oracle unrolls
+    each method — including the deterministic IVF training — in SQL."""
+    emb = _t(spark, sf, "embeddings")
+    embd = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    qd = embd.filter(F.col("vec_id") < 5)
+    qr = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.cosine_topk(embd, qd, k=5).withColumn("method", F.lit("brute"))
+    lsh = SIM.lsh_cosine_topk(emb, qr, k=5, dim=64).withColumn(
+        "method", F.lit("lsh")
     )
-    queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.cosine_topk(emb, queries, k=5)
+    ivf = SIM.ivf_cosine_topk(
+        emb, qr, k=5, n_centroids=16, n_probe=4, n_iters=2
+    ).withColumn("method", F.lit("ivf"))
+    cols = ["method", "q_id", "c_id", "cos_sim", "rank"]
+    return (
+        brute.select(cols)
+        .unionByName(lsh.select(cols))
+        .unionByName(ivf.select(cols))
+    )
 
 
 def q40_embedding_neardup(spark, sf):
@@ -700,28 +719,44 @@ def q46_strict_merge(spark, sf):
     return strict_merge_with_fallbacks(probe, build)
 
 
-def q47_null_last_page(spark, sf):
-    """Null-handling sort in a graded page (O2; reference
-    problems.py:198-209 coalesce(distance, sentinel) ordering):
-    DESC NULLS LAST across the null boundary, deterministic tiebreak."""
-    e = _t(spark, sf, "events")
-    dist = F.when(F.col("event_id") % 500 == 0, F.col("value"))
-    return (
-        e.select("event_id", F.round(dist, 2).alias("dist"))
-        .orderBy(F.desc_nulls_last("dist"), F.asc("event_id"))
-        .limit(25)
+def q53_stream_dedup(spark, sf):
+    """Streaming exact dedup graded for BATCH EQUIVALENCE: the derived
+    pairs table is replayed through Structured Streaming
+    (streaming/stream.stream_exact_dedup — dropDuplicatesWithinWatermark
+    keyed by the md5 content fingerprint), and the surviving fingerprint
+    SET must equal the batch dedup's distinct fingerprints (the winner
+    row per fingerprint depends on arrival order, so the set is the
+    deterministic contract)."""
+    from stop_sync_osm_atlas_spark.streaming.stream import stream_exact_dedup
+
+    pairs = _derived_pairs(spark, sf).select(
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     )
+    tmp = f"/tmp/spark_graft_q53_{abs(hash(sf)) % 10**8}"
+    pairs.write.mode("overwrite").parquet(tmp)
+    name = "q53_dedup_sink"
+    q = (
+        stream_exact_dedup(spark, tmp)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT DISTINCT fp FROM {name}")
 
 
-def q49_ivf_ann(spark, sf):
-    """IVF ANN: mini-Lloyd coarse quantizer + inverted bucket probe +
-    exact cosine re-rank (operators/similarity.ivf_cosine_topk); the
-    oracle unrolls the identical deterministic training in SQL."""
-    emb = _t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.ivf_cosine_topk(
-        emb, queries, k=5, n_centroids=16, n_probe=4, n_iters=2
-    )
+def q54_neardup_bands(spark, sf):
+    """Near-dup clustering with the full-recall 'bands' bridge
+    (operators/neardup, bridge='bands': upper-band self-joins discover
+    EVERY cross-bucket pair within radius <= 3 by pigeonhole) over the
+    same planted ground-truth groups as q24 — a green row proves the
+    bands path reproduces the ground truth end-to-end."""
+    from stop_sync_osm_atlas_spark.operators.neardup import neardup_clusters
+
+    pairs = _derived_pairs(spark, sf)
+    return neardup_clusters(pairs, hot_threshold=100000, bridge="bands")
 
 
 def q50_sequence_pack(spark, sf):
@@ -852,14 +887,6 @@ def q32_hourly_rollup(spark, sf):
         .groupBy("hour", "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
-
-
-def q34_lsh_ann(spark, sf):
-    """Hyperplane-LSH ANN (operators/similarity.lsh_cosine_topk) —
-    recall measured against q30 in tests; rows-only here."""
-    emb = _t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.lsh_cosine_topk(emb, queries, k=5, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -1356,6 +1383,12 @@ SELECT q_id, c_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Exactly 50 entries, in numeric order (the driver records the
+    # first 50 dict entries — every graded operator must sit inside
+    # that window). Former q29/q34/q47/q49 were merged into
+    # q28_scrub_fingerprint / q30_ann_methods / q39_pagination to make
+    # room for the q53/q54 hardening queries; COVERAGE.md maps the
+    # operator ids to the merged rows.
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_filter_project": q02_filter_project,
@@ -1384,15 +1417,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ngram_jaccard": q25_ngram_jaccard,
         "q26_minhash_lsh": q26_minhash_lsh,
         "q27_simhash": q27_simhash,
-        "q28_scrub": q28_scrub,
-        "q29_fingerprint": q29_fingerprint,
-        "q30_cosine_topk": q30_cosine_topk,
+        "q28_scrub_fingerprint": q28_scrub_fingerprint,
+        "q30_ann_methods": q30_ann_methods,
         "q31_embedding_stats": q31_embedding_stats,
         "q32_hourly_rollup": q32_hourly_rollup,
         "q33_json_path": q33_json_path,
-        "q34_lsh_ann": q34_lsh_ann,
         "q35_grouped_collect": q35_grouped_collect,
         "q36_name_match": q36_name_match,
+        "q37_token_match": q37_token_match,
+        "q38_viewport": q38_viewport,
         "q39_pagination": q39_pagination,
         "q40_embedding_neardup": q40_embedding_neardup,
         "q41_perplexity_model": q41_perplexity_model,
@@ -1401,14 +1434,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_banded_cosine_pairs": q44_banded_cosine_pairs,
         "q45_hash_sample": q45_hash_sample,
         "q46_strict_merge": q46_strict_merge,
-        "q47_null_last_page": q47_null_last_page,
         "q48_model_cascade": q48_model_cascade,
-        "q49_ivf_ann": q49_ivf_ann,
         "q50_sequence_pack": q50_sequence_pack,
         "q51_embedding_quantize": q51_embedding_quantize,
         "q52_tfidf_keywords": q52_tfidf_keywords,
-        "q37_token_match": q37_token_match,
-        "q38_viewport": q38_viewport,
+        "q53_stream_dedup": q53_stream_dedup,
+        "q54_neardup_bands": q54_neardup_bands,
     }
 
 
@@ -1592,24 +1623,26 @@ SELECT doc_id,
        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
-        "q28_scrub": f"""
+        "q28_scrub_fingerprint": f"""
 WITH pairs AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          CASE WHEN doc_id % 10 = 0
               THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
               ELSE text END AS caption
   FROM documents
 )
 SELECT doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
-  (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed
+  (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed,
+  md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 64)) AS fp
 FROM pairs
 """,
-        "q29_fingerprint": """
-SELECT doc_id,
-  md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 64)) AS fp
-FROM documents
+        "q30_ann_methods": f"""
+SELECT 'brute' AS method, * FROM ({_oracle_q30()})
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({_oracle_q34()})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({_oracle_q49()})
 """,
-        "q30_cosine_topk": _oracle_q30(),
         "q31_embedding_stats": """
 SELECT label, count(*) AS n,
   round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
@@ -1620,12 +1653,10 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
   count(*) AS n, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """,
-        "q34_lsh_ann": _oracle_q34(),
         "q41_perplexity_model": _oracle_q41(),
         "q42_langid_nb": _oracle_q42(),
         "q44_banded_cosine_pairs": _oracle_q44(),
         "q48_model_cascade": _oracle_q48(),
-        "q49_ivf_ann": _oracle_q49(),
         "q52_tfidf_keywords": f"""
 WITH toks AS (
   SELECT doc_id AS id, unnest({_sql_words('text')}) AS term FROM documents
@@ -1704,10 +1735,6 @@ WITH probe AS (
 )
 SELECT * FROM strict UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM suffix
 """,
-        "q47_null_last_page": """
-SELECT event_id, round(CASE WHEN event_id % 500 = 0 THEN value END, 2) AS dist
-FROM events ORDER BY dist DESC NULLS LAST, event_id ASC LIMIT 25
-""",
         "q45_hash_sample": """
 SELECT doc_id, lang FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100
@@ -1728,8 +1755,8 @@ SELECT o_orderstatus, o_orderpriority, count(*) AS n,
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
         "q39_pagination": """
-SELECT o_orderkey, round(o_totalprice, 2) AS price
-FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20
+SELECT event_id, round(CASE WHEN event_id % 500 = 0 THEN value END, 2) AS dist
+FROM events ORDER BY dist DESC NULLS LAST, event_id ASC LIMIT 25 OFFSET 10
 """,
         "q36_name_match": """
 WITH probe AS (SELECT DISTINCT p_type FROM part WHERE p_size <= 2),
@@ -1773,6 +1800,32 @@ SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k FROM (
 SELECT event_type,
   array_to_string(list_sort(list(DISTINCT user_id % 100)), ',') AS users_mod100
 FROM events GROUP BY event_type
+""",
+        # streaming dedup batch equivalence: the surviving-fingerprint
+        # SET equals the batch dedup's distinct fingerprints
+        "q53_stream_dedup": """
+WITH pairs AS (
+  SELECT CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE text END AS caption
+  FROM documents
+)
+SELECT DISTINCT
+  md5(substr(regexp_replace(lower(trim(coalesce(caption, ''))), '\\s+', ' ', 'g'), 1, 10000)) AS fp
+FROM pairs
+""",
+        # same planted ground truth as q24 — the bands bridge must
+        # reproduce the doc_id//3 groups exactly
+        "q54_neardup_bands": """
+WITH pairs AS (
+  SELECT printf('doc:%06d', doc_id) AS image_id, doc_id // 3 AS grp
+  FROM documents
+)
+SELECT image_id,
+  min(image_id) OVER (PARTITION BY grp) AS cluster_id,
+  CAST(count(*) OVER (PARTITION BY grp) AS INT) AS cluster_size,
+  (image_id = min(image_id) OVER (PARTITION BY grp)) AS is_cluster_rep
+FROM pairs
 """,
     }
 

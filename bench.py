@@ -195,9 +195,9 @@ def main() -> None:
         "q01_pricing_summary", "q03_join_revenue", "q07_ratio_test",
         "q14_cascade_resolution", "q19_sessionize", "q20_doc_stats",
         "q23_quality_cascade", "q24_neardup", "q25_ngram_jaccard",
-        "q26_minhash_lsh", "q30_cosine_topk", "q32_hourly_rollup",
+        "q26_minhash_lsh", "q30_ann_methods", "q32_hourly_rollup",
         "q44_banded_cosine_pairs", "q45_hash_sample", "q46_strict_merge",
-        "q48_model_cascade", "q49_ivf_ann", "q50_sequence_pack",
+        "q48_model_cascade", "q50_sequence_pack",
         "q52_tfidf_keywords",
     ]
     qs = entry.queries()

@@ -7,10 +7,13 @@ one window — no UDF, no driver state. Deterministic: score ties break
 on the term string, so the SQL oracle reproduces rows exactly.
 
 Scale shape (100 TB): the (doc, term) explode is the big intermediate
-(bounded by total token count); df is a tiny per-term aggregate that
-broadcasts back; the top-k window partitions by doc_id — no global
-sort, no skewed keys beyond stopword-like terms, which the ln(N/df)
-weight crushes anyway.
+(bounded by total token count); df is the per-term document-frequency
+aggregate — the full distinct-term table, deliberately NOT
+broadcast-hinted (billions of terms on web text); the join is shuffled
+on term and AQE demotes it to broadcast at runtime only when df
+actually fits. The top-k window partitions by doc_id — no global sort,
+no skewed keys beyond stopword-like terms, which the ln(N/df) weight
+crushes anyway.
 """
 
 from __future__ import annotations
@@ -40,7 +43,13 @@ def tfidf_topk(
     ).where(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
+    # NO broadcast hint on df: it is the full distinct-term table, which
+    # on web text is billions of rows — forcing it into a broadcast would
+    # OOM the executors at scale. Unhinted, Catalyst plans a shuffled
+    # join co-partitioned on term (tf is already partitioned by (id,
+    # term) -> AQE reuses stats and converts to broadcast at runtime
+    # exactly when df actually fits).
+    scored = tf.join(df, "term").select(
         F.col("id").alias(id_col),
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(

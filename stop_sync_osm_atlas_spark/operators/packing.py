@@ -4,10 +4,22 @@ The training-batch assembly step of an LLM data pipeline (what T5-style
 pretraining calls example packing): documents in a deterministic order
 are chunked by cumulative token count, so each bin holds ~budget
 tokens. Spark shape: an exclusive-prefix window sum per partition key —
-packing is embarrassingly parallel ACROSS keys (lang, shard, source)
-and sequential within one, which is exactly the window contract; no
-driver-side loop, no UDF. A doc larger than the budget gets its own
-bin(s) boundary — cumulative chunking never splits a document.
+packing is embarrassingly parallel ACROSS keys and sequential within
+one, which is exactly the window contract; no driver-side loop, no UDF.
+A doc larger than the budget gets its own bin(s) boundary — cumulative
+chunking never splits a document.
+
+KEY-CARDINALITY CONTRACT: the window serializes each partition key into
+one task, so ``part_col`` must be high-cardinality relative to the
+cluster. A Zipfian key like language is NOT (English alone is ~half a
+web corpus = one straggler task). For low-cardinality keys pass
+``shards > 1``: rows are salted into ``xxhash64(order_col) % shards``
+sub-keys, packed independently per (key, shard), and bin ids are
+renumbered globally per key by offsetting each shard with the cumulative
+bin count of lower shards — bin ids stay dense and deterministic, at
+the (documented, inherent-to-parallel-packing) cost that docs pack in
+(shard, order_col) order rather than global order_col order, and each
+shard's final partial bin stays partial.
 """
 
 from __future__ import annotations
@@ -23,25 +35,65 @@ def pack_bins(
     budget: int = 512,
     part_col: str = "lang",
     order_col: str = "doc_id",
+    shards: int = 1,
 ) -> DataFrame:
     """-> (part_col, bin, n_docs, total_tokens, first_doc, last_doc).
 
     bin = floor(exclusive-prefix-sum(tokens) / budget) within each
-    partition key, docs ordered by ``order_col`` — deterministic,
-    SQL-identical, one shuffle on the partition key.
+    partition key (and shard, when ``shards > 1`` — see the module
+    docstring for the cardinality contract), docs ordered by
+    ``order_col`` — deterministic, SQL-identical at shards=1, one
+    shuffle on the partition key.
     """
-    w = (
-        W.partitionBy(part_col)
-        .orderBy(order_col)
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    run = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    binned = docs.select(
-        F.col(part_col),
-        F.col(order_col),
-        token_col.alias("_tok"),
-        F.floor(run / F.lit(budget)).cast("long").alias("bin"),
-    )
+    if shards <= 1:
+        w = (
+            W.partitionBy(part_col)
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        run = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+        binned = docs.select(
+            F.col(part_col),
+            F.col(order_col),
+            token_col.alias("_tok"),
+            F.floor(run / F.lit(budget)).cast("long").alias("bin"),
+        )
+    else:
+        shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(shards)).cast("int")
+        w = (
+            W.partitionBy(part_col, "_shard")
+            .orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        run = F.coalesce(F.sum("_tok").over(w), F.lit(0))
+        local = docs.select(
+            F.col(part_col),
+            F.col(order_col),
+            token_col.alias("_tok"),
+            shard.alias("_shard"),
+        ).withColumn("_lbin", F.floor(run / F.lit(budget)).cast("long"))
+        # dense global renumbering: offset each shard by the cumulative
+        # bin count of lower shards (a <= shards-row aggregate per key,
+        # broadcast back — never a full-data second shuffle)
+        per_shard = local.groupBy(part_col, "_shard").agg(
+            (F.max("_lbin") + 1).alias("_nbins")
+        )
+        off_w = (
+            W.partitionBy(part_col)
+            .orderBy("_shard")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        offsets = per_shard.withColumn(
+            "_off", F.coalesce(F.sum("_nbins").over(off_w), F.lit(0))
+        ).select(part_col, "_shard", "_off")
+        binned = local.join(
+            F.broadcast(offsets), [part_col, "_shard"]
+        ).select(
+            F.col(part_col),
+            F.col(order_col),
+            "_tok",
+            (F.col("_lbin") + F.col("_off")).alias("bin"),
+        )
     return binned.groupBy(part_col, "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("_tok").alias("total_tokens"),

@@ -43,6 +43,14 @@ class RuleConfig:
     stopword_rule_min_words: int = 20
     max_perplexity: float = 97.0  # ~uniform-over-alphabet ppl for gibberish
     stopwords: tuple[str, ...] = field(default_factory=lambda: tuple(ALL_STOPWORDS))
+    # ENABLE_* analog (reference problem_detection.py:20-23). Honored by
+    # the Spark cascade (disabled hits constant-fold to FALSE, pruning
+    # the predicate subtree) AND the pandas oracle. NOTE on the 3-way
+    # mirror contract (CLAUDE.md): the DuckDB q23 oracle SQL covers only
+    # the DEFAULT config (nothing disabled) — it is generated once per
+    # gate run from RuleConfig() and does not parameterize on
+    # disabled_rules; non-default configs are graded by the pandas
+    # oracle in tests/test_rules.py.
     disabled_rules: tuple[str, ...] = ()
 
     def rule_enabled(self, name: str) -> bool:

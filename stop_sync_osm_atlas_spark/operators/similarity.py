@@ -240,10 +240,14 @@ def cosine_neardup_pairs(
             )
         ).alias("bk"),
     )
-    a = bands.select(F.col("id").alias("a_id"), "bk")
-    b = bands.select(F.col("id").alias("b_id"), "bk")
+    # distinct column names on the two sides: self-join disambiguation
+    # via same-name Column refs triggers Spark's trivially-true-predicate
+    # WARN and leans on positional resolution — keep it out of the
+    # correctness path
+    a = bands.select(F.col("id").alias("a_id"), F.col("bk").alias("bk_a"))
+    b = bands.select(F.col("id").alias("b_id"), F.col("bk").alias("bk_b"))
     pairs = (
-        a.join(b, (a["bk"] == b["bk"]) & (a["a_id"] < b["b_id"]))
+        a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id")
         .distinct()
     )

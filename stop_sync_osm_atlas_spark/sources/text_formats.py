@@ -191,10 +191,20 @@ def read_zip_csv(
                                 io.TextIOWrapper(fh, encoding="utf-8"),
                                 sep=sep,
                                 header=0,
-                                names=names,
                                 dtype=object,
                             )
-                        yield out
+                        # bind by HEADER NAME, not position: GTFS allows
+                        # arbitrary column order per member (the
+                        # reference also reads by name via pandas).
+                        # Missing schema columns are an error, never a
+                        # silent scramble; extra member columns drop.
+                        missing = [c for c in names if c not in out.columns]
+                        if missing:
+                            raise ValueError(
+                                f"zip member {member!r} lacks column(s) "
+                                f"{missing}; found {list(out.columns)}"
+                            )
+                        yield out[names]
 
     raw = spark.read.format("binaryFile").load(path).select("content")
     parsed = raw.mapInPandas(

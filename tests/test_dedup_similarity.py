@@ -232,6 +232,32 @@ def test_pack_bins_budget_and_order(spark):
         assert r.total_tokens - toks[r.last_doc] < 512
 
 
+def test_pack_bins_sharded_single_key(spark):
+    """shards>1 parallelizes a single Zipfian key: packing runs per
+    (key, shard) and bin ids renumber densely per key; every doc packs
+    exactly once, totals conserve, and no bin starts past the budget."""
+    from stop_sync_osm_atlas_spark.operators.packing import pack_bins
+
+    rows = [(i, "en", 50 + (i % 13) * 20) for i in range(400)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang", "tok"]))
+    out = (
+        pack_bins(docs, F.col("tok"), budget=500, part_col="lang",
+                  order_col="doc_id", shards=8)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    toks = {i: 50 + (i % 13) * 20 for i in range(400)}
+    assert out.n_docs.sum() == 400
+    assert out.total_tokens.sum() == sum(toks.values())
+    # dense global renumbering: bins are exactly 0..n-1
+    assert sorted(out.bin.tolist()) == list(range(len(out)))
+    # chunking contract holds within every shard: a bin minus its last
+    # doc is under budget
+    for r in out.itertuples():
+        assert r.total_tokens - toks[r.last_doc] < 500
+
+
 def test_quantize_embeddings_error_bound(spark):
     """int8 quantization: recon error bounded by scale/2 * sqrt(dim),
     zero vector handled."""

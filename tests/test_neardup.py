@@ -114,6 +114,88 @@ def test_bridge_matches_oracle_cross_window(spark):
         assert (eng[col] == orc[col]).all(), col
 
 
+def test_bands_bridge_closes_two_window_bit_residual(spark):
+    # the documented multiprobe miss (>=2 window bits) IS found by the
+    # bands bridge: upper bands equal -> bucket pair discovered ->
+    # supergroup -> direct comparison
+    a = 0xABCDEF0000
+    out = _run(spark, [("a", a), ("b", a ^ 0x3), ("c", a ^ 0b111)],
+               bridge="bands")
+    assert set(out["cluster_id"]) == {"a"}
+    assert (out["cluster_size"] == 3).all()
+
+
+def test_bands_mode_matches_oracle_and_merges_e(spark):
+    # same mixed fixture as the multiprobe oracle test, with bridge
+    # semantics flipped: 'e' (2 window bits from base, hamming 2) MUST
+    # merge under bands and the oracle must mirror it
+    base = 0x1234ABCD5678
+    rows = [
+        ("a", base),
+        ("b", base ^ (1 << 40)),
+        ("c", base ^ 0x4),
+        ("d", base ^ 0x4 ^ (1 << 50)),
+        ("e", base ^ 0x30),
+        ("f", 0x5EADBEEF00000000),
+    ]
+    eng = _run(spark, rows, bridge="bands")
+    orc = (
+        neardup_oracle(pd.DataFrame(rows, columns=["image_id", "phash"]),
+                       bridge="bands")
+        .set_index("image_id")
+        .sort_index()
+    )
+    for col in ["cluster_id", "cluster_size", "is_cluster_rep"]:
+        assert (eng[col] == orc[col]).all(), col
+    assert eng.loc["e", "cluster_id"] == "a"
+
+
+def test_bands_mode_exact_at_radius_without_salting(spark):
+    # with no hot supergroup, bands mode is EXACT radius-3 clustering:
+    # every within-radius pair (same or cross bucket) lands in one
+    # supergroup and is compared directly — verify against a brute-force
+    # union-find ground truth on a random hash set
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 62, size=60, dtype=np.int64)
+    hashes = []
+    for i, h in enumerate(base):
+        hashes.append(int(h))
+        if i % 3 == 0:  # plant near-dups at mixed bit positions
+            hashes.append(int(h) ^ (1 << int(rng.integers(0, 62))))
+            hashes.append(int(h) ^ 0x5)  # 2 window bits
+    rows = [(f"i{k:03d}", h) for k, h in enumerate(hashes)]
+    out = _run(spark, rows, bridge="bands")
+
+    # brute-force ground truth
+    n = len(rows)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1") <= 3:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    truth = {}
+    for i in range(n):
+        truth.setdefault(find(i), []).append(rows[i][0])
+    expect = {}
+    for members in truth.values():
+        rep = min(members)
+        for m in members:
+            expect[m] = rep
+    got = out["cluster_id"].to_dict()
+    assert got == expect
+
+
 def test_hot_bucket_salting_matches_oracle(spark, fixture_1k, nd_kwargs):
     pairs = fixture_1k.pairs
     sdf = spark.createDataFrame(pairs[["image_id", "phash"]], SCHEMA)

@@ -125,6 +125,25 @@ def test_small_override_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_tfidf_no_vocabulary_broadcast(spark):
+    """tfidf_topk must NOT broadcast-HINT the document-frequency side —
+    it is the full distinct-term table (billions of rows on web text).
+    With size-based auto-broadcast disabled, only a hint could force a
+    BroadcastExchange, so the plan must show none; at default settings
+    Catalyst/AQE remain free to broadcast when df actually fits."""
+    from stop_sync_osm_atlas_spark.operators.keywords import tfidf_topk
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = tfidf_topk(spark.read.parquet(f"{sf}/documents.parquet"), k=3)
+        plan = _plan(df)
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_hash_sample_is_codegen_filter(spark):
     """The deterministic sample must stay a pure codegen filter — no
     shuffle, no Python."""

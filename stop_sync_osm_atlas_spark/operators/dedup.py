@@ -199,9 +199,12 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs`` with O(4 x docs) band keys.
     """
     sigs = minhash_signatures(docs, n=n, text_col=text_col, id_col=id_col)
+    # band rows carry ONLY (id, band-key): the 16-long signature would
+    # be 4x-amplified by the band explode and then ride the candidate
+    # shuffle — signatures re-attach by id after the pair set is
+    # distinct (the exchange under `sigs` is reused, not recomputed)
     bands = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -220,20 +223,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    a = bands.select(F.col("id").alias("a_id"), F.col("bk").alias("bk_a"))
+    b = bands.select(F.col("id").alias("b_id"), F.col("bk").alias("bk_b"))
     cands = (
         a.join(
             b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("bk_a") == F.col("bk_b")) & (F.col("a_id") < F.col("b_id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    sa = sigs.select(F.col("id").alias("a_id"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("b_id"), F.col("sig").alias("sig_b"))
+    cands = cands.join(sa, "a_id").join(sb, "b_id")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),

@@ -432,19 +432,37 @@ def lsh_cosine_topk(
     band_bits = n_planes // n_bands
     cb = _banded(corpus, "c", planes, band_bits, n_bands, id_col, vec_col)
     qb = _banded(queries, "q", planes, band_bits, n_bands, id_col, vec_col)
+    # slim candidate generation: the band join and the pair dedup carry
+    # ONLY ids — the corpus vectors (n_bands-amplified by the explode)
+    # would otherwise ride both shuffles. Vectors re-attach by id after
+    # distinct (the q44 lesson: 13.6s -> 2.9s at sf0.1).
     cands = (
-        cb.join(F.broadcast(qb), cb["bk"] == qb["bk"])
+        cb.drop("c_vec")
+        .join(F.broadcast(qb.drop("q_vec")), cb["bk"] == qb["bk"])
         .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_vec", "c_id", "c_vec")
+        .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = cands.select(
-        "q_id",
-        "c_id",
-        F.round(
-            cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")),
-            6,
-        ).alias("cos_sim"),
+    cvec = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cands.join(cvec, "c_id")
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                cosine(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
     )
     win = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (

@@ -258,6 +258,40 @@ def test_pack_bins_sharded_single_key(spark):
         assert r.total_tokens - toks[r.last_doc] < 500
 
 
+def test_clean_lines_dedup_and_boilerplate(spark):
+    """C4-style line cleaning: within-doc repeat lines collapse to the
+    first occurrence, corpus-wide boilerplate (> max_line_df docs)
+    drops everywhere, order is preserved, blanks survive."""
+    from stop_sync_osm_atlas_spark.operators.lines import clean_lines
+
+    boiler = "Accept cookies to continue"
+    rows = [
+        (1, f"alpha one\n{boiler}\nbody text 1\nbody text 1\n\nend 1"),
+        (2, f"{boiler}\nbody text 2\nend 2"),
+        (3, f"body text 3\n{boiler}\nend 3"),
+        (4, "unique doc\nno boilerplate here"),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = (
+        clean_lines(docs, max_line_df=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # boilerplate (3 docs > max_line_df=2) removed everywhere
+    assert boiler not in out.loc[1, "text_clean"]
+    assert out.loc[2, "text_clean"] == "body text 2\nend 2"
+    assert out.loc[3, "text_clean"] == "body text 3\nend 3"
+    # within-doc repeat collapsed, blank separator preserved, order kept
+    assert out.loc[1, "text_clean"] == "alpha one\nbody text 1\n\nend 1"
+    # untouched doc round-trips
+    assert out.loc[4, "text_clean"] == "unique doc\nno boilerplate here"
+    assert out.loc[4, "n_lines_in"] == out.loc[4, "n_lines_kept"] == 2
+    # null text -> empty, zero kept
+    assert out.loc[5, "text_clean"] == "" and out.loc[5, "n_lines_kept"] <= 1
+
+
 def test_quantize_embeddings_error_bound(spark):
     """int8 quantization: recon error bounded by scale/2 * sqrt(dim),
     zero vector handled."""

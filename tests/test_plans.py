@@ -101,6 +101,22 @@ def test_fused_decode_reads_bytes_once(spark, fixture_paths):
     assert len(with_bytes) == 1, f"{len(with_bytes)} scans read bytes"
 
 
+def test_cascade_main_job_has_no_shuffle(spark, fixture_paths):
+    """The 100 TB contract of the supergroup near-dup design: after the
+    bounded node-level pre-jobs, the cascade's MAIN job is scan ->
+    fused Arrow decode -> broadcast phash-map attach -> project — zero
+    shuffle exchanges of the wide rows (the r2 design sort-merge-joined
+    the decoded rows on image_id)."""
+    from stop_sync_osm_atlas_spark.operators.cascade import run_cascade
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.read.schema(PAIRS_SCHEMA).parquet(fixture_paths["pairs"])
+    plan = _plan(run_cascade(pairs))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_small_override_table_broadcasts(spark):
     """apply_overrides must broadcast a small override table
     (BROADCAST_MAX_ROWS contract in operators/overrides.py)."""

@@ -200,3 +200,15 @@ def test_streaming_exact_dedup(spark, fixture_paths, tmp_path):
     assert got["fp"].is_unique
     assert 0 < len(got) < n_in  # planted near-dup clusters share captions
     shutil.rmtree(d)
+
+
+def test_q53_stream_dedup_repeatable_in_session(spark):
+    """The graded q53 must be re-runnable in one session (fixed memory
+    sink name is released on stop; temp parquet is overwritten) and
+    deterministic — two invocations yield the identical fingerprint
+    set."""
+    import __spark_entry__ as entry
+
+    a = set(r["fp"] for r in entry.q53_stream_dedup(spark, "/root/testdata/sf0.001").collect())
+    b = set(r["fp"] for r in entry.q53_stream_dedup(spark, "/root/testdata/sf0.001").collect())
+    assert a == b and len(a) > 0

@@ -196,6 +196,44 @@ def test_bands_mode_exact_at_radius_without_salting(spark):
     assert got == expect
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("bridge", ["multiprobe", "bands"])
+def test_random_corpus_matches_oracle(spark, seed, bridge):
+    """Randomized engine-vs-pandas-oracle agreement for BOTH bridge
+    modes: random base hashes + planted near-dups at random bit
+    positions (window and upper), exact dups, and nulls."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 1 << 62, size=40, dtype=np.int64)
+    rows: list[tuple[str, object]] = []
+    k = 0
+    for i, h in enumerate(base):
+        rows.append((f"r{k:03d}", int(h))); k += 1
+        m = i % 4
+        if m == 0:  # exact dup
+            rows.append((f"r{k:03d}", int(h))); k += 1
+        elif m == 1:  # near-dup, 1-3 random bits anywhere
+            x = int(h)
+            for b in rng.choice(62, size=int(rng.integers(1, 4)), replace=False):
+                x ^= 1 << int(b)
+            rows.append((f"r{k:03d}", x)); k += 1
+        elif m == 2:  # null phash
+            rows.append((f"r{k:03d}", None)); k += 1
+    pdf = pd.DataFrame(rows, columns=["image_id", "phash"])
+    sdf = spark.createDataFrame(pdf, SCHEMA)
+    eng = (
+        neardup_clusters(sdf, bridge=bridge)
+        .toPandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    orc = neardup_oracle(pdf, bridge=bridge).set_index("image_id").sort_index()
+    assert list(eng.index) == list(orc.index)
+    for col in ["cluster_id", "cluster_size", "is_cluster_rep"]:
+        assert (eng[col] == orc[col]).all(), (bridge, seed, col)
+
+
 def test_hot_bucket_salting_matches_oracle(spark, fixture_1k, nd_kwargs):
     pairs = fixture_1k.pairs
     sdf = spark.createDataFrame(pairs[["image_id", "phash"]], SCHEMA)

@@ -108,15 +108,23 @@ def main() -> None:
         spark = get_spark(master=f"local[{cpus}]")
         pairs_path = args.pairs or ensure_pairs(PAIRS_N)
         # steady-state methodology: run 1 warms everything at full scale
-        # (codegen compile, Python daemon forks, AQE stats, page cache);
-        # run 2 is the reported throughput. Both runs do identical work.
+        # (codegen compile, Python daemon forks, AQE stats, page cache,
+        # JIT C2 tiers); the reported throughput is the MEDIAN of the
+        # next 3 runs. A single post-warm run is not reliable on this
+        # host: measured same-JVM distribution 26.0 (cold), 11.6, 10.7,
+        # 11.0, 10.5, 10.2 — occasionally the first post-warm run still
+        # lands 2x high while JIT/daemon warm-up completes.
         t0 = time.time()
         n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
         run1 = time.time() - t0
-        t0 = time.time()
-        n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
-        run2 = time.time() - t0
-        print(json.dumps({"pipeline_sec": run2, "pipeline_sec_cold": run1,
+        steady = []
+        for _ in range(3):
+            t0 = time.time()
+            n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
+            steady.append(time.time() - t0)
+        med = sorted(steady)[1]
+        print(json.dumps({"pipeline_sec": med, "pipeline_sec_cold": run1,
+                          "pipeline_sec_runs": [round(s, 3) for s in steady],
                           "rows": n, "cpus": cpus}))
         return
 
@@ -184,11 +192,18 @@ def main() -> None:
     t0 = time.time()
     run_pipeline(spark, warm_path, "/tmp/spark_graft_bench/out_warm")
     warm_sec = round(time.time() - t0, 3)
-    _log("running qf_pipeline")
-    t0 = time.time()
-    n_rows = run_pipeline(spark, pairs_path, "/tmp/spark_graft_bench/out_default")
-    timings["qf_pipeline"] = round(time.time() - t0, 3)
-    qf_cold = round(warm_sec + timings["qf_pipeline"], 3)
+    # Median of 3 timed runs: a single post-warm run on this host
+    # occasionally lands ~2x high (JIT C2 / Python-daemon warm-up
+    # finishing during it); the median is stable at ~10.5-11.5 s.
+    # The first timed run still feeds the cold-including-warmup bound.
+    qf_runs = []
+    for i in range(3):
+        _log(f"running qf_pipeline (timed run {i + 1}/3)")
+        t0 = time.time()
+        n_rows = run_pipeline(spark, pairs_path, "/tmp/spark_graft_bench/out_default")
+        qf_runs.append(round(time.time() - t0, 3))
+    timings["qf_pipeline"] = sorted(qf_runs)[1]
+    qf_cold = round(warm_sec + qf_runs[0], 3)
     images_per_sec = round(n_rows / timings["qf_pipeline"], 1)
 
     headline = [
@@ -222,6 +237,7 @@ def main() -> None:
                 "pairs_rows": n_rows,
                 "images_per_sec": images_per_sec,
                 "qf_pipeline_cold_incl_warmup": qf_cold,
+                "qf_pipeline_runs": qf_runs,
             }
         )
     )

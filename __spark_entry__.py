@@ -799,19 +799,17 @@ def q48_model_cascade(spark, sf):
     langid_mismatch is a label-noise detector: the synthetic corpus
     carries intentionally noisy lang tags over English-ish text, so it
     correctly fires on ~half the rows (NB avg conf 0.94 on flags).
+    Both models train in ONE fused corpus pass (one scan + one bounded
+    collect — functions/training.py) instead of two sequential jobs.
     Pipeline analog: plans/pipeline.run_pipeline(use_model_udfs=True)."""
-    from stop_sync_osm_atlas_spark.functions.langid import (
-        langid_hashed_ngram_udf,
-        train_langid_model_distributed,
-    )
-    from stop_sync_osm_atlas_spark.functions.perplexity import (
-        perplexity_udf,
-        train_char_bigram_distributed,
-    )
+    from stop_sync_osm_atlas_spark.functions.langid import langid_hashed_ngram_udf
+    from stop_sync_osm_atlas_spark.functions.perplexity import perplexity_udf
+    from stop_sync_osm_atlas_spark.functions.training import train_models_fused
 
     d = _t(spark, sf, "documents")
-    lid = langid_hashed_ngram_udf(train_langid_model_distributed(d))
-    ppl_udf = perplexity_udf(train_char_bigram_distributed(d))
+    lid_model, bigram = train_models_fused(d)
+    lid = langid_hashed_ngram_udf(lid_model)
+    ppl_udf = perplexity_udf(bigram)
     cap = F.col("text")
     scored = (
         d.withColumn("_lid", lid(cap))

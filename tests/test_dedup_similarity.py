@@ -383,3 +383,32 @@ def test_clean_lines_matches_pandas_reference_randomized(spark):
     assert set(got) == set(expect)
     bad = [d for d in sorted(expect) if got[d] != expect[d]]
     assert not bad, (bad[:3], [(got[d], expect[d]) for d in bad[:2]])
+
+
+def test_pack_bins_randomized_conservation_and_density(spark):
+    """Random multi-key corpus, shards>1: every doc packs exactly once
+    (doc and token totals conserved), bin ids are dense 0..max per key,
+    and the packing is deterministic across invocations."""
+    from stop_sync_osm_atlas_spark.operators.packing import pack_bins
+
+    rng = np.random.default_rng(99)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(800)],
+            "lang": rng.choice(["en", "de", "fr"], size=800, p=[0.7, 0.2, 0.1]),
+            "n_tok": rng.integers(1, 400, size=800),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).repartition(9)
+
+    out = pack_bins(sdf, F.col("n_tok"), budget=512, shards=4).toPandas()
+    assert out["n_docs"].sum() == len(pdf)
+    assert out["total_tokens"].sum() == pdf["n_tok"].sum()
+    for lang, grp in out.groupby("lang"):
+        bins = sorted(grp["bin"])
+        assert bins == list(range(len(bins))), lang  # dense, no gaps
+
+    out2 = pack_bins(sdf, F.col("n_tok"), budget=512, shards=4).toPandas()
+    a = out.sort_values(["lang", "bin"]).reset_index(drop=True)
+    b = out2.sort_values(["lang", "bin"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -170,3 +170,44 @@ def test_hash_sample_is_codegen_filter(spark):
     plan = _plan(df.select("doc_id"))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fused_training_single_scan_single_shuffle(spark, fixture_paths):
+    """train_models_fused's aggregation must stay: pruned 2-column scan
+    -> one MapInPandas -> map-side partial agg -> exactly ONE Exchange.
+    Two scans or a second shuffle would double training I/O at corpus
+    scale (the whole point of fusing the two trainers)."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from stop_sync_osm_atlas_spark.functions.training import train_models_fused
+
+    docs = spark.read.parquet(fixture_paths["pairs"]).selectExpr(
+        "image_id as doc_id", "coalesce(caption, '') as text", "'en' as lang"
+    )
+
+    class _Cap(Exception):
+        pass
+
+    orig = cdf.DataFrame.collect
+
+    def _capture(self):
+        _capture.df = self
+        raise _Cap()
+
+    cdf.DataFrame.collect = _capture
+    try:
+        train_models_fused(docs)
+    except _Cap:
+        pass
+    finally:
+        cdf.DataFrame.collect = orig
+
+    plan = _plan(_capture.df)
+    # formatted output names each node twice (tree + "(N) <node>" detail
+    # header) — count the detail headers.
+    assert plan.count(") Exchange") == 1, plan
+    assert plan.count(") Scan parquet") == 1, plan
+    assert plan.count(") MapInPandas") == 1, plan
+    scan = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg][0]
+    assert "phash" not in scan and "bytes" not in scan, scan
+    assert "partial_sum" in plan, plan  # map-side combine before the shuffle

@@ -1,0 +1,122 @@
+"""End-to-end text-corpus preparation: the LLM-training-data pipeline.
+
+The image keep/drop/scrub cascade (``plans/pipeline.py``) is the graft's
+flagship; this module is its sibling for the `documents` side — the
+standard web-corpus preparation flow, composed entirely from the
+engine's graded operators:
+
+1. line-level cleaning          operators/lines.clean_lines      (q-tested)
+2. exact dedup                  operators/dedup.exact_dedup shape (q21)
+3. MinHash-LSH near-dedup       operators/dedup.minhash_lsh_pairs (q26)
+4. model quality signals        functions/training.train_models_fused
+                                + langid / perplexity UDFs        (q48)
+5. quality rule ladder          (empty / too-short / high-ppl /
+                                langid-mismatch — q48's ladder)
+6. sequence packing             operators/packing.pack_bins       (q50)
+
+Each stage is individually oracle-graded by the driver; this composition
+is integration-tested (tests/test_corpus_pipeline.py) for conservation
+invariants: every surviving doc appears exactly once, drops are
+accounted by reason, and the packed output conserves kept tokens.
+
+Scale shape: stages communicate only through DataFrames — one lineage,
+no driver materialization except the two bounded model collects inside
+``train_models_fused`` (<= n_lang x 2048 + V^2 rows). The near-dup
+stage shuffles slim (id, band-key) pairs only; cleaning shuffles on the
+line-form key it aggregates on; packing is one shuffle per partition
+key. No stage re-reads the corpus from disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions.langid import langid_hashed_ngram_udf
+from ..functions.perplexity import perplexity_udf
+from ..functions.text import n_words
+from ..functions.training import train_models_fused
+from ..operators.dedup import minhash_lsh_pairs
+from ..operators.lines import clean_lines
+from ..operators.packing import pack_bins
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    max_line_df: int = 2,
+    ppl_threshold: float = 6.0,
+    min_words: int = 5,
+    pack_budget: int = 512,
+    pack_shards: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """-> (decisions, bins).
+
+    ``decisions``: (doc_id, lang, decision, reason, n_tok) — one row per
+    input doc; decision in {keep, drop}; reason is the first matching
+    rule (exact_dup / near_dup / empty / too_short / high_perplexity /
+    langid_mismatch) or 'keep'.
+    ``bins``: pack_bins output over the kept docs.
+
+    Expects (doc_id, text, lang) columns; extra columns pass through to
+    the cleaning stage and are dropped afterwards.
+    """
+    cleaned = clean_lines(docs, max_line_df=max_line_df)
+    base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
+
+    # exact dedup on the CLEANED text (q21 shape): keep min doc_id.
+    fp_w = W.partitionBy(F.md5(F.col("text_clean"))).orderBy("doc_id")
+    base = base.withColumn("_fp_rk", F.row_number().over(fp_w))
+
+    # near-dedup on the cleaned survivors (q26 shape): losers of any
+    # LSH pair drop (keep the smaller doc_id of each pair).
+    survivors = base.where(F.col("_fp_rk") == 1).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    near_losers = (
+        minhash_lsh_pairs(survivors)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+
+    lid_model, bigram = train_models_fused(
+        base.where(F.col("_fp_rk") == 1).select(
+            F.col("text_clean").alias("text"), "lang"
+        )
+    )
+    lid = langid_hashed_ngram_udf(lid_model)
+    ppl = perplexity_udf(bigram)
+
+    scored = (
+        base.join(near_losers, "doc_id", "left")
+        .withColumn("_lid", lid(F.col("text_clean")))
+        .withColumn("_ppl", ppl(F.col("text_clean")))
+        .withColumn("n_tok", n_words(F.col("text_clean")))
+    )
+    reason = (
+        F.when(F.col("_fp_rk") > 1, F.lit("exact_dup"))
+        .when(F.col("_near"), F.lit("near_dup"))
+        .when(F.trim(F.col("text_clean")) == "", F.lit("empty"))
+        .when(F.col("n_tok") < min_words, F.lit("too_short"))
+        .when(F.col("_ppl") > ppl_threshold, F.lit("high_perplexity"))
+        .when(F.col("_lid.lang") != F.col("lang"), F.lit("langid_mismatch"))
+        .otherwise(F.lit("keep"))
+    )
+    decisions = scored.select(
+        "doc_id",
+        "lang",
+        reason.alias("reason"),
+        F.when(reason == "keep", F.lit("keep")).otherwise(F.lit("drop")).alias(
+            "decision"
+        ),
+        "n_tok",
+    )
+
+    kept = decisions.where(F.col("decision") == "keep").select(
+        "doc_id", "lang", "n_tok"
+    )
+    bins = pack_bins(
+        kept, F.col("n_tok"), budget=pack_budget, shards=pack_shards
+    )
+    return decisions, bins

@@ -1,0 +1,69 @@
+"""Integration test for plans/corpus.prepare_corpus — the composed
+LLM-training-data pipeline (clean -> exact dedup -> LSH near-dedup ->
+model quality ladder -> pack). Conservation invariants across stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    from stop_sync_osm_atlas_spark.fixtures.generator import _CONTENT, _caption
+
+    rng = np.random.default_rng(42)
+    rows = []
+    langs = sorted(_CONTENT)
+    boiler = "Cookie notice: accept all"
+    for i in range(300):
+        lang = langs[int(rng.integers(0, len(langs)))]
+        body = _caption(rng, lang, int(rng.integers(3, 25)))
+        text = f"{boiler}\n{body}\n{body}"  # boilerplate + within-doc dup
+        rows.append((f"d{i:04d}", text, lang))
+    # planted exact dups (same text after cleaning)
+    for j in range(10):
+        rows.append((f"x{j:02d}", rows[j][1], rows[j][2]))
+    # degenerate docs
+    rows += [("e00", "", "de"), ("e01", "   \n  ", "fr"), ("e02", "one two", "it")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    ).repartition(8)
+
+
+def test_prepare_corpus_conservation(spark, corpus_df):
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    decisions, bins = prepare_corpus(corpus_df, max_line_df=2)
+    dec = decisions.toPandas()
+    n_in = corpus_df.count()
+
+    # one decision per input doc, no dups, decision/reason consistent
+    assert len(dec) == n_in
+    assert dec["doc_id"].is_unique
+    assert set(dec["decision"]) <= {"keep", "drop"}
+    assert ((dec["reason"] == "keep") == (dec["decision"] == "keep")).all()
+
+    # planted exact dups: exactly one of each pair survives exact-dedup
+    for j in range(10):
+        pair = dec[dec["doc_id"].isin([f"d{j:04d}", f"x{j:02d}"])]
+        assert (pair["reason"] == "exact_dup").sum() == 1, pair
+
+    # degenerate docs never keep
+    deg = dec[dec["doc_id"].isin(["e00", "e01", "e02"])]
+    assert (deg["decision"] == "drop").all()
+    assert set(deg["reason"]) <= {"empty", "too_short", "exact_dup", "near_dup"}
+
+    # packing conserves kept docs and tokens exactly
+    kept = dec[dec["decision"] == "keep"]
+    b = bins.toPandas()
+    assert b["n_docs"].sum() == len(kept)
+    assert b["total_tokens"].sum() == kept["n_tok"].sum()
+
+    # determinism: a second invocation yields identical decisions
+    dec2 = prepare_corpus(corpus_df, max_line_df=2)[0].toPandas()
+    a = dec.sort_values("doc_id").reset_index(drop=True)
+    c = dec2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)

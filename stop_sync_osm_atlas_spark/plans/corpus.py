@@ -60,13 +60,21 @@ def prepare_corpus(
 
     Expects (doc_id, text, lang) columns; extra columns pass through to
     the cleaning stage and are dropped afterwards.
+
+    Caching contract: the returned ``decisions`` frame is persisted
+    (it was materialized to free the internal text-bearing cache) —
+    call ``decisions.unpersist()`` when finished with both outputs.
     """
     cleaned = clean_lines(docs, max_line_df=max_line_df)
     base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
 
     # exact dedup on the CLEANED text (q21 shape): keep min doc_id.
     fp_w = W.partitionBy(F.md5(F.col("text_clean"))).orderBy("doc_id")
-    base = base.withColumn("_fp_rk", F.row_number().over(fp_w))
+    # base feeds FOUR consumers (dedup filter, LSH, model training, the
+    # scored projection); Spark reuses exchanges but NOT Python stages,
+    # so without a persist the cleaning pass would recompute per branch
+    # (diamond-plan rule in CLAUDE.md). Measured at sf0.1: ~25 s -> ~7 s.
+    base = base.withColumn("_fp_rk", F.row_number().over(fp_w)).persist()
 
     # near-dedup on the cleaned survivors (q26 shape): losers of any
     # LSH pair drop (keep the smaller doc_id of each pair).
@@ -103,6 +111,8 @@ def prepare_corpus(
         .when(F.col("_lid.lang") != F.col("lang"), F.lit("langid_mismatch"))
         .otherwise(F.lit("keep"))
     )
+    # decisions feeds both the caller and the packing stage — persist the
+    # slim 5-column frame so bins doesn't re-run the scoring UDFs.
     decisions = scored.select(
         "doc_id",
         "lang",
@@ -111,7 +121,14 @@ def prepare_corpus(
             "decision"
         ),
         "n_tok",
-    )
+    ).persist()
+
+    # The fused training collect above already materialized base's cache;
+    # materializing the slim decisions frame here lets us release the
+    # (text-bearing, much larger) base cache before returning. Only
+    # `decisions` stays cached — callers unpersist it when done.
+    decisions.count()
+    base.unpersist()
 
     kept = decisions.where(F.col("decision") == "keep").select(
         "doc_id", "lang", "n_tok"

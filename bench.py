@@ -246,6 +246,24 @@ def main() -> None:
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
+    # Extra (non-headline) metric: the composed documents-side corpus
+    # pipeline (clean -> dedup -> LSH near-dedup -> fused model ladder
+    # -> pack), one warm + one timed run. Never allowed to break the
+    # bench line.
+    corpus_prep_sec = None
+    try:
+        from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        for i in range(2):
+            t0 = time.time()
+            dec, bins = prepare_corpus(docs)
+            bins.count()
+            dec.unpersist()
+            corpus_prep_sec = round(time.time() - t0, 3)
+    except Exception as exc:  # pragma: no cover - defensive
+        _log(f"corpus_prep skipped: {exc}")
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -260,6 +278,7 @@ def main() -> None:
                 "images_per_sec": images_per_sec,
                 "qf_pipeline_cold_incl_warmup": qf_cold,
                 "qf_pipeline_runs": qf_runs,
+                "corpus_prep_sec": corpus_prep_sec,
             }
         )
     )

@@ -729,10 +729,15 @@ def q53_stream_dedup(spark, sf):
     deterministic contract)."""
     from stop_sync_osm_atlas_spark.streaming.stream import stream_exact_dedup
 
+    import hashlib
+    import shutil
+
     pairs = _derived_pairs(spark, sf).select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     )
-    tmp = f"/tmp/spark_graft_q53_{abs(hash(sf)) % 10**8}"
+    # deterministic staging path (hash() is PYTHONHASHSEED-randomized
+    # across driver processes and would leak a fresh /tmp copy per run)
+    tmp = f"/tmp/spark_graft_q53_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     pairs.write.mode("overwrite").parquet(tmp)
     name = "q53_dedup_sink"
     q = (
@@ -744,7 +749,10 @@ def q53_stream_dedup(spark, sf):
     )
     q.processAllAvailable()
     q.stop()
-    return spark.sql(f"SELECT DISTINCT fp FROM {name}")
+    out = spark.sql(f"SELECT DISTINCT fp FROM {name}")
+    # the memory sink owns the rows now — drop the staging copy
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def q54_neardup_bands(spark, sf):

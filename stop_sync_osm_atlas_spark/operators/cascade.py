@@ -61,6 +61,7 @@ def run_cascade(
     neardup_kwargs: dict | None = None,
     part_buckets: int = 64,
     use_decode: bool = True,
+    overrides_broadcast: bool = True,
 ) -> DataFrame:
     """Full decision engine: pairs -> DECISIONS_SCHEMA rows.
 
@@ -69,6 +70,11 @@ def run_cascade(
     streams and metadata/pixel dimension mismatches that the
     metadata-only rules cannot see (the coordinate-validation analog,
     reference import_data_db.py:60-100).
+
+    ``overrides_broadcast``: forwarded to apply_overrides. Default True
+    (curated override tables are tiny); pass False for a huge override
+    table so the documented shuffled-join fallback is reachable from
+    the cascade API and AQE co-partitions on image_id.
     """
     from ..functions.image import decode_validate_inline
     from .overrides import apply_overrides
@@ -158,7 +164,7 @@ def run_cascade(
             F.col("caption")
         ),
     )
-    resolved = apply_overrides(resolved, overrides)
+    resolved = apply_overrides(resolved, overrides, broadcast=overrides_broadcast)
     # lineage partition: stable hash bucket of image_id (cross-run stable,
     # NOT Spark's task partition — survives repartitioning)
     resolved = resolved.withColumn(

@@ -30,13 +30,25 @@ def tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """-> (doc_id, term, tfidf, rank): top-k terms per doc.
 
     tf = in-document term count; idf = ln(N / df) with df = number of
     documents containing the term; ties break (tfidf desc, term asc).
+
+    ``n_docs``: pass the corpus document count when the caller already
+    knows it; left None it is computed INSIDE the main job as a 1-row
+    aggregate cross-joined (broadcast) into the scoring projection — no
+    separate eager count job, so plan building stays side-effect-free
+    and the query runs as a single job.
     """
-    n_docs = docs.select(id_col).count()
+    if n_docs is None:
+        n_frame = docs.select(id_col).agg(
+            F.count("*").cast("double").alias("_n_docs")
+        )
+    else:
+        n_frame = None
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("term"),
@@ -49,12 +61,19 @@ def tfidf_topk(
     # join co-partitioned on term (tf is already partitioned by (id,
     # term) -> AQE reuses stats and converts to broadcast at runtime
     # exactly when df actually fits).
-    scored = tf.join(df, "term").select(
+    joined = tf.join(df, "term")
+    if n_frame is not None:
+        # 1-row aggregate rides the same job as a broadcast nested-loop
+        # cross join — N is exact (counts token-less docs too) without a
+        # driver-blocking pre-job.
+        joined = joined.join(F.broadcast(n_frame))
+        n_expr = F.col("_n_docs")
+    else:
+        n_expr = F.lit(float(n_docs))
+    scored = joined.select(
         F.col("id").alias(id_col),
         "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+        F.round(F.col("tf") * F.log(n_expr / F.col("df")), 6).alias("tfidf"),
     )
     win = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
     return (

@@ -400,8 +400,14 @@ def neardup_phash_map(
         lambda pdf: _merge_reps(pdf, 2 * radius),
         schema="sg int, orig_local string, global_cluster string",
     )
+    # NO broadcast hint on `merged`: it holds one row per sub-cluster rep
+    # of every hot supergroup, which is unbounded at corpus scale (a hot
+    # supergroup of mostly-singleton components yields ~one rep per
+    # distinct hash). AQE demotes this join to broadcast at runtime when
+    # `merged` actually fits (the common case: empty or tiny), without
+    # the hint's OOM risk when it doesn't.
     resolved = local.join(
-        F.broadcast(merged),
+        merged,
         (local["sg"] == merged["sg"])
         & (local["local_cluster"] == merged["orig_local"]),
         "left",

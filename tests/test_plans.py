@@ -145,8 +145,10 @@ def test_tfidf_no_vocabulary_broadcast(spark):
     """tfidf_topk must NOT broadcast-HINT the document-frequency side —
     it is the full distinct-term table (billions of rows on web text).
     With size-based auto-broadcast disabled, only a hint could force a
-    BroadcastExchange, so the plan must show none; at default settings
-    Catalyst/AQE remain free to broadcast when df actually fits."""
+    broadcast, so the only broadcast in the plan must be the 1-row
+    corpus-count aggregate (a nested-loop cross join, never a hash join
+    on term); at default settings Catalyst/AQE remain free to broadcast
+    df when it actually fits."""
     from stop_sync_osm_atlas_spark.operators.keywords import tfidf_topk
 
     sf = "/root/testdata/sf0.001"
@@ -155,9 +157,30 @@ def test_tfidf_no_vocabulary_broadcast(spark):
     try:
         df = tfidf_topk(spark.read.parquet(f"{sf}/documents.parquet"), k=3)
         plan = _plan(df)
-        assert "BroadcastExchange" not in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        # exactly one broadcast: the 1-row n_docs frame
+        assert plan.count(") BroadcastExchange") <= 1, plan
+        assert plan.count(") BroadcastNestedLoopJoin") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tfidf_plan_building_runs_no_job(spark):
+    """r3 verdict item 4: the old tfidf_topk ran an eager docs.count()
+    while BUILDING the plan — an extra full scan job at corpus scale.
+    Plan construction must now schedule zero Spark jobs."""
+    from stop_sync_osm_atlas_spark.operators.keywords import tfidf_topk
+
+    sf = "/root/testdata/sf0.001"
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{sf}/documents.parquet")  # schema job outside probe
+    sc.setJobGroup("tfidf_plan_probe", "plan building must be lazy")
+    try:
+        tfidf_topk(docs, k=3)
+        jobs = sc.statusTracker().getJobIdsForGroup("tfidf_plan_probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], jobs
 
 
 def test_hash_sample_is_codegen_filter(spark):

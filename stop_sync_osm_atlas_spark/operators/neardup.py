@@ -29,9 +29,11 @@ which is observably identical, see "Node-level execution" below):
    bands: a cross-bucket pair within radius r <= 3 has >=1 differing
    bit in band 0, hence <= 2 differing bits across the three upper
    bands, hence at least one upper band EQUAL (pigeonhole) — full
-   cross-bucket pair discovery at the default radius. ``sg = min
-   bucket id`` of the component; unlinked buckets are their own
-   supergroup.
+   cross-bucket pair discovery at the default radius. The band width
+   is the ``band_bits`` dial (radius <= n_upper_bands is ASSERTED, and
+   oversized band keys are salt-striped — see _band_bucket_pairs).
+   ``sg = min bucket id`` of the component; unlinked buckets are their
+   own supergroup.
 3. Supergroups with more than ``hot_threshold`` ROWS are *salted* with
    a secondary deterministic key ``sub = (phash >> bits) & (2^sub_bits
    - 1)`` (mandated skew handling: a Zipfian hot bucket — FIXTURES.md
@@ -266,6 +268,7 @@ def neardup_phash_map(
     sub_bits: int = DEFAULT_SUB_BITS,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     bridge: str = "multiprobe",
+    band_bits: int | None = None,
 ) -> tuple[DataFrame, int]:
     """pairs -> (phash -> cluster map, map row count).
 
@@ -297,7 +300,7 @@ def neardup_phash_map(
     # pair. Lazy; the bounded collect below is eager job 1 and populates
     # pc's cache as a side effect.
     if bridge == "bands":
-        bpairs = _band_bucket_pairs(pc, bits, radius)
+        bpairs = _band_bucket_pairs(pc, bits, radius, band_bits=band_bits)
     else:
         probes = (
             pc.select(
@@ -477,6 +480,7 @@ def neardup_clusters(
     sub_bits: int = DEFAULT_SUB_BITS,
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     bridge: str = "multiprobe",
+    band_bits: int | None = None,
 ) -> DataFrame:
     """pairs -> (image_id, cluster_id, cluster_size, is_cluster_rep).
 
@@ -493,6 +497,7 @@ def neardup_clusters(
         sub_bits=sub_bits,
         hot_threshold=hot_threshold,
         bridge=bridge,
+        band_bits=band_bits,
     )
     slim0 = pairs.select("image_id", "phash").where(F.col("phash").isNotNull())
     return attach_clusters(slim0, ph_map, n_map).select(
@@ -500,40 +505,102 @@ def neardup_clusters(
     )
 
 
-def _band_bucket_pairs(pc: DataFrame, bits: int, radius: int) -> DataFrame:
+# Bands-bridge skew guard defaults: a band key holding more than
+# BAND_SALT_ROWS nodes has its self-join striped across ceil(n/rows)
+# salts (capped at BAND_MAX_SALT) so one pathological key can never pin
+# a single quadratic task; total candidate volume is unchanged (it is
+# inherent to the algorithm — the docstring's "use multiprobe instead"
+# advice applies when even distributed quadratic work is too much).
+BAND_SALT_ROWS = 65_536
+BAND_MAX_SALT = 64
+
+
+def _band_bucket_pairs(
+    pc: DataFrame,
+    bits: int,
+    radius: int,
+    band_bits: int | None = None,
+    salt_rows: int = BAND_SALT_ROWS,
+    max_salt: int = BAND_MAX_SALT,
+) -> DataFrame:
     """Full-recall bucket-pair discovery via upper-band blocking.
 
-    Splits the 64-bit hash into 64/bits bands (band 0 = the bucket
-    window) and self-joins the node table on each UPPER band key. Any
-    cross-bucket pair within radius <= (number of upper bands) shares
-    at least one upper band exactly (pigeonhole), so every such pair is
-    discovered — closing the >=2-window-bit residual the multi-probe
-    bridge documents. Band keys are the skew dial: a pathological band
-    value collapses many hashes into one join key; keys here are 16-bit
-    (65k values), the same width the bucket pass already relies on.
+    Partitions the 64-bit hash above the bucket window into upper bands
+    of ``band_bits`` bits (default: the bucket width) and self-joins the
+    node table on each UPPER band key. COMPLETENESS CONTRACT: a
+    cross-bucket pair within ``radius`` has >= 1 differing bit in the
+    bucket window, hence <= radius-1 differing bits spread over the
+    n_upper = (64-bits)/band_bits upper bands, hence shares at least one
+    upper band exactly (pigeonhole) — valid iff ``radius <= n_upper``,
+    which is asserted (silently losing cross-bucket pairs is not an
+    acceptable failure mode). ``band_bits`` is the skew/recall dial:
+    narrower bands -> more bands -> higher provable radius but fewer
+    distinct key values (more nodes per key); wider bands -> the
+    reverse. Per-key quadratic candidate volume is bounded per TASK by
+    the salting guard (``salt_rows``/``max_salt`` above): key sizes are
+    pre-counted with a bounded per-band aggregate (<= 2^band_bits rows,
+    broadcast when narrow) and oversized keys stripe the join
+    deterministically — one side sliced by pmod(xxhash64(phash), s),
+    the other replicated s ways — so every pair is still discovered
+    exactly once per band while no task sees more than ~salt_rows
+    build-side rows for a key.
     """
-    n_upper = (64 // bits) - 1
+    band_bits = bits if band_bits is None else band_bits
+    span = 64 - bits
+    if band_bits <= 0 or span % band_bits != 0:
+        raise ValueError(
+            f"band_bits={band_bits} must evenly split the {span} bits "
+            f"above the {bits}-bit bucket window"
+        )
+    n_upper = span // band_bits
+    if radius > n_upper:
+        raise ValueError(
+            f"bands bridge is pigeonhole-complete only for radius <= "
+            f"{n_upper} ({n_upper} upper bands of {band_bits} bits); got "
+            f"radius={radius}. Narrow band_bits (more bands) or use "
+            f"bridge='multiprobe' (which degrades recall, never silently)"
+        )
     out = None
-    mask = (1 << bits) - 1
-    for k in range(1, n_upper + 1):
+    mask = (1 << band_bits) - 1
+    for k in range(n_upper):
         key = (
-            F.shiftrightunsigned(F.col("phash"), bits * k)
+            F.shiftrightunsigned(F.col("phash"), bits + band_bits * k)
             .bitwiseAND(F.lit(mask))
-            .cast("int")
+            .cast("long")
         )
         kn = pc.select(F.col("phash"), F.col("bucket"), key.alias("bandkey"))
+        # skew guard: per-key node pre-count (the same pattern as the
+        # supergroup salting pass). Bounded by 2^band_bits rows after
+        # the map-side combine; broadcast while that stays small.
+        sizes = kn.groupBy("bandkey").agg(F.count("*").alias("_kn"))
+        if band_bits <= 18:
+            sizes = F.broadcast(sizes)
+        n_salt = F.least(
+            F.ceil(F.col("_kn") / F.lit(salt_rows)), F.lit(max_salt)
+        ).cast("int")
+        kn = kn.join(sizes, "bandkey").withColumn("_ns", n_salt)
         a = kn.select(
             F.col("phash").alias("ph_a"),
             F.col("bucket").alias("bucket_a"),
             F.col("bandkey").alias("bk_a"),
+            F.pmod(F.xxhash64("phash"), F.col("_ns")).cast("int").alias(
+                "salt_a"
+            ),
         )
         b = kn.select(
             F.col("phash").alias("ph_b"),
             F.col("bucket").alias("bucket_b"),
             F.col("bandkey").alias("bk_b"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("_ns") - F.lit(1))
+            ).alias("salt_b"),
         )
         e = (
-            a.join(b, F.col("bk_a") == F.col("bk_b"))
+            a.join(
+                b,
+                (F.col("bk_a") == F.col("bk_b"))
+                & (F.col("salt_a") == F.col("salt_b")),
+            )
             .where(
                 (F.col("bucket_a") < F.col("bucket_b"))
                 & (hamming(F.col("ph_a"), F.col("ph_b")) <= F.lit(radius))

@@ -196,6 +196,67 @@ def test_bands_mode_exact_at_radius_without_salting(spark):
     assert got == expect
 
 
+def test_bands_radius_beyond_pigeonhole_raises(spark):
+    # radius=4 with the default 3x16-bit upper bands would SILENTLY lose
+    # cross-bucket pairs — the contract must fail loudly instead
+    with pytest.raises(ValueError, match="pigeonhole-complete"):
+        _run(spark, [("a", 1), ("b", 2)], bridge="bands", radius=4)
+    # band_bits that doesn't partition the upper 48 bits is rejected too
+    with pytest.raises(ValueError, match="evenly split"):
+        _run(spark, [("a", 1), ("b", 2)], bridge="bands", band_bits=20)
+
+
+def test_bands_narrow_bands_extend_radius(spark):
+    # band_bits=12 -> 4 upper bands -> radius 4 is provably complete:
+    # a pair 4 bits apart (2 in the bucket window, 2 spread over two
+    # different upper bands) that default bands (radius<=3) may miss
+    # must cluster when the dial is widened
+    a = 0x0AB0CD0EF0120000 | 0x1234
+    b = a ^ 0x3 ^ (1 << 20) ^ (1 << 40)  # 2 window bits + 2 upper bits
+    out = _run(
+        spark, [("a", a), ("b", b)], bridge="bands", band_bits=12, radius=4
+    )
+    assert out.loc["b", "cluster_id"] == "a"
+    assert (out["cluster_size"] == 2).all()
+
+
+def test_bands_skewed_key_salting_is_exact(spark):
+    """The per-band-key salting guard must not change discovered pairs:
+    a pathological key (many nodes sharing ALL upper bands, differing
+    only in the bucket window) striped across salts yields the same
+    bucket-pair set as the unsalted join."""
+    from pyspark.sql import functions as F
+
+    from stop_sync_osm_atlas_spark.operators.neardup import _band_bucket_pairs
+
+    base = 0x7777AAAA0000
+    # 24 nodes in ONE band-key group (identical upper 48 bits), buckets
+    # 1 window bit apart pairwise-near in a chain, plus unrelated nodes
+    rows = [(base ^ (1 << (i % 3)), f"i{i:02d}") for i in range(24)]
+    rows += [(0x1111BBBB0000 ^ i, f"j{i:02d}") for i in range(4)]
+    pc = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["phash", "rep"])
+    ).select(
+        "phash",
+        F.lit(1).cast("long").alias("cnt"),
+        "rep",
+        F.col("phash").bitwiseAND(F.lit((1 << 16) - 1)).cast("int").alias(
+            "bucket"
+        ),
+    )
+    plain = {
+        (r["a"], r["b"])
+        for r in _band_bucket_pairs(pc, 16, 3, salt_rows=10**9).collect()
+    }
+    salted = {
+        (r["a"], r["b"])
+        for r in _band_bucket_pairs(
+            pc, 16, 3, salt_rows=4, max_salt=8
+        ).collect()
+    }
+    assert salted == plain and plain  # same pairs, and some were found
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("bridge", ["multiprobe", "bands"])
 def test_random_corpus_matches_oracle(spark, seed, bridge):

@@ -122,12 +122,21 @@ def q01_pricing_summary(spark, sf):
     )
 
 
-def q02_filter_project(spark, sf):
-    """F1/F6/F7: predicate + prefix filter + projection (scan pruning)."""
-    o = _t(spark, sf, "orders")
-    return o.filter(
-        F.col("o_orderpriority").startswith("1-") & (F.col("o_totalprice") > 100000)
-    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+def q02_corpus_prep(spark, sf):
+    """The composed LLM-corpus preparation pipeline graded END-TO-END
+    (plans/corpus.prepare_corpus): line-level cleaning -> exact dedup ->
+    MinHash-LSH near-dedup -> fused-trained quality-model ladder -> one
+    (doc_id, lang, reason, decision, n_tok) row per input doc. The
+    oracle (_oracle_q02) re-derives every stage in SQL, including BOTH
+    trained models with the train-on-survivors / score-everything split.
+    (The former q02_filter_project's F1/F6/F7 coverage is subsumed by
+    q15's LIKE/prefix filters and q38's range predicates — COVERAGE.md.)
+    """
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    d = _t(spark, sf, "documents")
+    decisions, _bins = prepare_corpus(d)
+    return decisions
 
 
 def q03_join_revenue(spark, sf):
@@ -1106,12 +1115,18 @@ WHERE round(list_dot_product(av, bv) /
 
 
 # Shared CTE blocks: full SQL re-derivations of the two trained models
-# (used by q41, q42 and the q48 model cascade). Double arithmetic on
-# both sides makes round-4 scores hash-identical to the pandas UDFs.
+# (used by q41, q42, the q48 model cascade, and — with a train/score
+# split — the q02 composed corpus pipeline). Double arithmetic on both
+# sides makes round-4 scores hash-identical to the pandas UDFs.
 
 # char-bigram perplexity (functions/perplexity.py): V=97 symbols
 # (printable ASCII 32..126, OOV 95, BOS 96), first 512 chars, add-one.
-_PPL_CTES = """enc AS (
+# ``score`` = relation whose docs get a ppl; ``train`` = relation whose
+# docs feed the bigram counts (a subset of score in the corpus
+# pipeline, where models train on the post-dedup survivors only).
+def _ppl_ctes_for(score: str = "documents", train: str = "documents") -> str:
+    trainj = "" if train == score else f" JOIN {train} USING (doc_id)"
+    return f"""enc AS (
   SELECT doc_id, i,
     lag(sym, 1, 96) OVER (PARTITION BY doc_id ORDER BY i) AS prev, sym AS cur
   FROM (
@@ -1121,11 +1136,11 @@ _PPL_CTES = """enc AS (
            ELSE 95 END AS sym
     FROM (
       SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t
-      FROM (SELECT doc_id, substr(coalesce(text,''), 1, 512) AS t FROM documents)
+      FROM (SELECT doc_id, substr(coalesce(text,''), 1, 512) AS t FROM {score})
     ), LATERAL (SELECT unicode(substr(t, CAST(i AS INT), 1)) AS cp)
   )
 ),
-counts AS (SELECT prev, cur, count(*) AS n FROM enc GROUP BY prev, cur),
+counts AS (SELECT prev, cur, count(*) AS n FROM enc{trainj} GROUP BY prev, cur),
 row_tot AS (SELECT prev, sum(n) AS tot FROM counts GROUP BY prev),
 ppl_scored AS (
   SELECT e.doc_id,
@@ -1137,17 +1152,23 @@ ppl_scored AS (
   GROUP BY e.doc_id
 )"""
 
+
+_PPL_CTES = _ppl_ctes_for()
+
 # hashed-ngram NB language model (functions/langid.py): char 1..3-grams
 # over '^'+lower(strip(text[:512]))+'$', FNV-1a-32 mod 2048 feature
 # hashing (list_reduce over UTF-8 bytes; corpus is ASCII so
 # unicode(char) == byte), add-one multinomial NB with doc-count+1
 # priors, softmax confidence, empty-text -> ('und', 0.0).
 _WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
-_NB_CTES = f"""prep AS (
+
+
+def _nb_ctes_for(score: str = "documents", train: str = "documents") -> str:
+    return f"""prep AS (
   SELECT doc_id, lang,
     trim(coalesce(text, ''), {_WS}) <> '' AS nonempty,
     '^' || trim(lower(substr(coalesce(text,''), 1, 512)), {_WS}) || '$' AS s
-  FROM documents
+  FROM {score}
 ),
 grams AS (
   SELECT doc_id,
@@ -1166,14 +1187,14 @@ feat AS (
   SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS x
   FROM grams JOIN gh USING (g) GROUP BY doc_id, dim
 ),
-langs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+langs AS (SELECT lang, count(*) AS n_docs FROM {train} GROUP BY lang),
 prior AS (
   SELECT lang, ln((n_docs + 1.0) / (SELECT sum(n_docs + 1.0) FROM langs)) AS lp
   FROM langs
 ),
 cls AS (
   SELECT d.lang, f.dim, sum(f.x) AS n
-  FROM feat f JOIN documents d USING (doc_id) GROUP BY d.lang, f.dim
+  FROM feat f JOIN {train} d USING (doc_id) GROUP BY d.lang, f.dim
 ),
 cls_tot AS (
   SELECT l.lang, 2048.0 + coalesce(sum(c.n), 0) AS tot
@@ -1201,6 +1222,9 @@ scored AS (
   FROM shifted
 ),
 best AS (SELECT doc_id, cand, p FROM scored WHERE rk = 1)"""
+
+
+_NB_CTES = _nb_ctes_for()
 
 
 def _oracle_q41() -> str:
@@ -1251,6 +1275,142 @@ SELECT doc_id, pred_lang, ppl,
   CASE WHEN h_empty OR h_short OR ppl > 6.0 OR pred_lang <> lang
        THEN 'drop' ELSE 'keep' END AS decision
 FROM sig
+"""
+
+
+def _minhash_pair_ctes(src: str, threshold: float) -> tuple[str, str]:
+    """(CTE block, per-pair agreement predicate) re-deriving
+    operators/dedup.minhash_lsh_pairs over relation ``src`` (doc_id,
+    text): md5-anchored hash family, 16-hash signature, 4x4 bands."""
+    words = _sql_words("text")
+    n = 3
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
+        f"i -> list_aggregate(list_slice({words}, i, i + {n - 1}), 'string_agg', ' ')))"
+    )
+    hashes = (
+        f"list_transform({shingles}, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT))"
+    )
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {DD.MINHASH_PRIME})) AS s{k}"
+        for k, (a, b) in enumerate(DD.MINHASH_COEFFS)
+    )
+    n_bands = len(DD.MINHASH_COEFFS) // DD.LSH_BAND_ROWS
+    band_structs = ", ".join(
+        "{'band': %d, 'key': %s}"
+        % (
+            bi,
+            " || ',' || ".join(
+                f"CAST(s{bi * DD.LSH_BAND_ROWS + r} AS VARCHAR)"
+                for r in range(DD.LSH_BAND_ROWS)
+            ),
+        )
+        for bi in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
+        for k in range(len(DD.MINHASH_COEFFS))
+    )
+    block = f"""mh_sh AS (
+  SELECT doc_id AS id, {hashes} AS hs FROM {src}
+  WHERE len({words}) >= {n}
+), mh_sig AS (
+  SELECT id, {sig_exprs} FROM mh_sh WHERE len(hs) > 0
+), mh_bands AS (
+  SELECT id, mh_sig.*, unnest([{band_structs}]) AS bk FROM mh_sig
+), mh_cands AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM mh_bands a JOIN mh_bands b ON a.bk = b.bk AND a.id < b.id
+), mh_pairs AS (
+  SELECT c.a_id, c.b_id
+  FROM mh_cands c JOIN mh_sig a ON c.a_id = a.id JOIN mh_sig b ON c.b_id = b.id
+  WHERE ({agree}) * 1.0 / {len(DD.MINHASH_COEFFS)} >= {threshold}
+)"""
+    return block, agree
+
+
+def _oracle_q02() -> str:
+    """The composed corpus-prep pipeline (plans/corpus.prepare_corpus)
+    re-derived stage by stage in SQL: C4-style line cleaning
+    (operators/lines.clean_lines, max_line_df=2) -> exact dedup on the
+    cleaned text (md5, min doc_id survives) -> MinHash-LSH near-dedup
+    over the survivors (threshold 0.5; pair losers = larger doc_id) ->
+    BOTH quality models trained on the survivors and scored over every
+    doc -> the first-matching-reason ladder."""
+    words = _sql_words("c.text")
+    return f"""
+WITH dl AS (
+  SELECT doc_id, lang, string_split(coalesce(text, ''), chr(10)) AS ls
+  FROM documents
+),
+lrow AS (
+  SELECT doc_id, pos, ls[CAST(pos AS INT)] AS line,
+         lower(trim(ls[CAST(pos AS INT)])) AS form
+  FROM (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, ls FROM dl)
+),
+firsts AS (
+  SELECT doc_id, pos, line, form,
+    row_number() OVER (PARTITION BY doc_id, form ORDER BY pos) AS rk
+  FROM lrow
+),
+kept0 AS (SELECT doc_id, pos, line, form FROM firsts WHERE rk = 1 OR form = ''),
+boiler AS (
+  SELECT form FROM kept0 WHERE form <> ''
+  GROUP BY form HAVING count(DISTINCT doc_id) > 2
+),
+keptl AS (
+  SELECT doc_id, pos, line FROM kept0
+  WHERE form = '' OR form NOT IN (SELECT form FROM boiler)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM keptl GROUP BY doc_id
+),
+clean AS (
+  SELECT d.doc_id, d.lang, coalesce(r.text_clean, '') AS text
+  FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+),
+fpr AS (
+  SELECT doc_id,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS fp_rk
+  FROM clean
+),
+surv AS (
+  SELECT c.doc_id, c.lang, c.text
+  FROM clean c JOIN fpr USING (doc_id) WHERE fp_rk = 1
+),
+{_minhash_pair_ctes('surv', 0.5)[0]},
+near AS (SELECT DISTINCT b_id AS doc_id FROM mh_pairs),
+{_ppl_ctes_for(score='clean', train='surv')},
+{_nb_ctes_for(score='clean', train='surv')},
+sig0 AS (
+  SELECT c.doc_id, c.lang, fpr.fp_rk,
+    (n.doc_id IS NOT NULL) AS is_near,
+    (trim(c.text) = '') AS is_empty,
+    CAST(len({words}) AS INT) AS n_tok,
+    s.ppl,
+    CASE WHEN p.nonempty THEN b.cand ELSE 'und' END AS pred_lang
+  FROM clean c
+  JOIN fpr USING (doc_id)
+  LEFT JOIN near n ON n.doc_id = c.doc_id
+  JOIN prep p USING (doc_id)
+  LEFT JOIN ppl_scored s USING (doc_id)
+  LEFT JOIN best b USING (doc_id)
+)
+SELECT doc_id, lang,
+  CASE WHEN fp_rk > 1 THEN 'exact_dup'
+       WHEN is_near THEN 'near_dup'
+       WHEN is_empty THEN 'empty'
+       WHEN n_tok < 5 THEN 'too_short'
+       WHEN ppl > 6.0 THEN 'high_perplexity'
+       WHEN pred_lang <> lang THEN 'langid_mismatch'
+       ELSE 'keep' END AS reason,
+  CASE WHEN fp_rk > 1 OR is_near OR is_empty OR n_tok < 5
+         OR ppl > 6.0 OR pred_lang <> lang
+       THEN 'drop' ELSE 'keep' END AS decision,
+  n_tok
+FROM sig0
 """
 
 
@@ -1393,11 +1553,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 dict entries — every graded operator must sit inside
     # that window). Former q29/q34/q47/q49 were merged into
     # q28_scrub_fingerprint / q30_ann_methods / q39_pagination to make
-    # room for the q53/q54 hardening queries; COVERAGE.md maps the
-    # operator ids to the merged rows.
+    # room for the q53/q54 hardening queries; r4 retired
+    # q02_filter_project (subsumed by q15/q38) so the composed corpus
+    # pipeline could take a graded slot; COVERAGE.md maps the operator
+    # ids to the merged rows.
     return {
         "q01_pricing_summary": q01_pricing_summary,
-        "q02_filter_project": q02_filter_project,
+        "q02_corpus_prep": q02_corpus_prep,
         "q03_join_revenue": q03_join_revenue,
         "q04_unique_by_key": q04_unique_by_key,
         "q05_anti_join": q05_anti_join,
@@ -1462,11 +1624,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
 GROUP BY l_returnflag, l_linestatus
 """,
-        "q02_filter_project": """
-SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
-FROM orders
-WHERE o_orderpriority LIKE '1-%' AND o_totalprice > 100000
-""",
+        "q02_corpus_prep": _oracle_q02(),
         "q03_join_revenue": """
 SELECT c_mktsegment,
   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

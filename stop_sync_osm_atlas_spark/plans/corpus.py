@@ -99,7 +99,12 @@ def prepare_corpus(
     scored = (
         base.join(near_losers, "doc_id", "left")
         .withColumn("_lid", lid(F.col("text_clean")))
-        .withColumn("_ppl", ppl(F.col("text_clean")))
+        # round to 4 decimals BEFORE thresholding — the repo-wide
+        # cross-engine determinism convention for model scores (same as
+        # q48): the SQL oracle re-derives ppl in double arithmetic and
+        # both sides compare the identical rounded value against the
+        # threshold, removing last-ulp boundary flips.
+        .withColumn("_ppl", F.round(ppl(F.col("text_clean")), 4))
         .withColumn("n_tok", n_words(F.col("text_clean")))
     )
     reason = (

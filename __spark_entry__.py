@@ -777,19 +777,30 @@ def q54_neardup_bands(spark, sf):
 
 
 def q50_sequence_pack(spark, sf):
-    """Training-batch sequence packing: docs chunk into <=512-token
-    bins by exclusive-prefix token sum, parallel across langs
-    (operators/packing.pack_bins)."""
+    """Training-batch sequence packing, BOTH execution paths graded
+    (operators/packing.pack_bins): mode='global' = one window per lang
+    (exclusive-prefix token sum); mode='sharded' = the low-cardinality-
+    key salting path (4 shards, dense per-lang bin renumbering via the
+    cumulative shard-offset broadcast). The shard key is a planted
+    pmod(doc_id, 4) — engine-portable, so the SQL oracle reproduces the
+    sharded renumbering exactly."""
     from stop_sync_osm_atlas_spark.operators.packing import pack_bins
 
     d = _t(spark, sf, "documents")
-    return pack_bins(
+    tok = TX.token_count_bpe_ish(F.col("text"))
+    glob = pack_bins(
+        d, tok, budget=512, part_col="lang", order_col="doc_id"
+    ).withColumn("mode", F.lit("global"))
+    sharded = pack_bins(
         d,
-        TX.token_count_bpe_ish(F.col("text")),
+        tok,
         budget=512,
         part_col="lang",
         order_col="doc_id",
-    )
+        shards=4,
+        shard_col=F.pmod(F.col("doc_id"), F.lit(4)),
+    ).withColumn("mode", F.lit("sharded"))
+    return glob.unionByName(sharded)
 
 
 def q51_embedding_quantize(spark, sf):
@@ -1849,11 +1860,35 @@ WITH toks AS (
       PARTITION BY lang ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS bin
   FROM toks
+), sh_local AS (
+  SELECT lang, doc_id, tok, doc_id % 4 AS shard,
+    CAST(floor(coalesce(sum(tok) OVER (
+      PARTITION BY lang, doc_id % 4 ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0) AS BIGINT) AS lbin
+  FROM toks
+), sh_counts AS (
+  SELECT lang, shard, max(lbin) + 1 AS nbins FROM sh_local GROUP BY lang, shard
+), sh_off AS (
+  SELECT lang, shard,
+    coalesce(sum(nbins) OVER (
+      PARTITION BY lang ORDER BY shard
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM sh_counts
+), sh_binned AS (
+  SELECT l.lang, l.doc_id, l.tok, CAST(l.lbin + o.off AS BIGINT) AS bin
+  FROM sh_local l JOIN sh_off o ON l.lang = o.lang AND l.shard = o.shard
 )
 SELECT lang, bin, count(*) AS n_docs,
   CAST(sum(tok) AS BIGINT) AS total_tokens,
-  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+  'global' AS mode
 FROM binned GROUP BY lang, bin
+UNION ALL
+SELECT lang, bin, count(*) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+  'sharded' AS mode
+FROM sh_binned GROUP BY lang, bin
 """,
         "q51_embedding_quantize": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

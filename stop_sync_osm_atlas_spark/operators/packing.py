@@ -36,6 +36,7 @@ def pack_bins(
     part_col: str = "lang",
     order_col: str = "doc_id",
     shards: int = 1,
+    shard_col: Column | None = None,
 ) -> DataFrame:
     """-> (part_col, bin, n_docs, total_tokens, first_doc, last_doc).
 
@@ -44,6 +45,12 @@ def pack_bins(
     docstring for the cardinality contract), docs ordered by
     ``order_col`` — deterministic, SQL-identical at shards=1, one
     shuffle on the partition key.
+
+    ``shard_col``: expression overriding the default
+    ``xxhash64(order_col) % shards`` salt (values must lie in
+    [0, shards)). Lets a caller plant an engine-portable shard key
+    (e.g. ``pmod(doc_id, shards)``) so the sharded renumbering path is
+    reproducible in SQL oracles that lack xxhash64.
     """
     if shards <= 1:
         w = (
@@ -59,7 +66,9 @@ def pack_bins(
             F.floor(run / F.lit(budget)).cast("long").alias("bin"),
         )
     else:
-        shard = F.pmod(F.xxhash64(F.col(order_col)), F.lit(shards)).cast("int")
+        if shard_col is None:
+            shard_col = F.pmod(F.xxhash64(F.col(order_col)), F.lit(shards))
+        shard = shard_col.cast("int")
         w = (
             W.partitionBy(part_col, "_shard")
             .orderBy(order_col)

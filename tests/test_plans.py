@@ -183,7 +183,43 @@ def test_tfidf_plan_building_runs_no_job(spark):
     assert list(jobs) == [], jobs
 
 
-def test_hash_sample_is_codegen_filter(spark):
+def test_decisions_sink_partition_pruning(spark, tmp_path):
+    """The 100x read-path claim for the decisions sink: a part_bucket
+    predicate over the directory-partitioned parquet layout must become
+    a PartitionFilter on the scan (directory pruning — the parquet
+    stand-in for Iceberg partition/zone-map skipping, sources/io.py),
+    and the pruned scan must actually touch only that bucket's files."""
+    from stop_sync_osm_atlas_spark.sources.io import read_table, write_table
+
+    dec = spark.range(0, 256).select(
+        F.concat(F.lit("img:"), F.col("id")).alias("image_id"),
+        F.lit("keep").alias("decision"),
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(8)).cast("int").alias(
+            "part_bucket"
+        ),
+    )
+    path = str(tmp_path / "decisions")
+    write_table(dec, path, partition_by=["part_bucket"])
+
+    def scan_num_files(df) -> int:
+        df.collect()
+        scan = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        return scan.metrics().apply("numFiles").value()
+
+    rd = read_table(spark, path).filter(F.col("part_bucket") == 3).select("image_id")
+    plan = _plan(rd)
+    scan = [
+        seg for seg in plan.split("\n\n")
+        if "Scan parquet" in seg and "PartitionFilters" in seg
+    ]
+    assert scan, plan
+    pf = scan[0].split("PartitionFilters:")[1].split("]")[0]
+    assert "part_bucket" in pf, scan[0]
+    # pruning is physical, not cosmetic: the filtered scan's numFiles
+    # metric must be a strict fraction of the full relation's
+    n_pruned = scan_num_files(rd)
+    n_all = scan_num_files(read_table(spark, path).select("image_id"))
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
     """The deterministic sample must stay a pure codegen filter — no
     shuffle, no Python."""
     from stop_sync_osm_atlas_spark.operators.sampling import hash_sample

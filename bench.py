@@ -214,13 +214,14 @@ def main() -> None:
     images_per_sec = round(n_rows / timings["qf_pipeline"], 1)
 
     headline = [
-        "q01_pricing_summary", "q03_join_revenue", "q07_ratio_test",
+        "q01_pricing_summary", "q02_corpus_prep", "q03_join_revenue",
+        "q07_ratio_test",
         "q14_cascade_resolution", "q19_sessionize", "q20_doc_stats",
         "q23_quality_cascade", "q24_neardup", "q25_ngram_jaccard",
         "q26_minhash_lsh", "q30_ann_methods", "q32_hourly_rollup",
         "q44_banded_cosine_pairs", "q45_hash_sample", "q46_strict_merge",
         "q48_model_cascade", "q50_sequence_pack",
-        "q52_tfidf_keywords",
+        "q52_tfidf_keywords", "q53_stream_dedup", "q54_neardup_bands",
     ]
     qs = entry.queries()
     # timeit-style best-of-3, round-robin: host interference (hypervisor

@@ -560,55 +560,69 @@ def _band_bucket_pairs(
             f"radius={radius}. Narrow band_bits (more bands) or use "
             f"bridge='multiprobe' (which degrades recall, never silently)"
         )
-    out = None
     mask = (1 << band_bits) - 1
-    for k in range(n_upper):
-        key = (
-            F.shiftrightunsigned(F.col("phash"), bits + band_bits * k)
-            .bitwiseAND(F.lit(mask))
-            .cast("long")
-        )
-        kn = pc.select(F.col("phash"), F.col("bucket"), key.alias("bandkey"))
-        # skew guard: per-key node pre-count (the same pattern as the
-        # supergroup salting pass). Bounded by 2^band_bits rows after
-        # the map-side combine; broadcast while that stays small.
-        sizes = kn.groupBy("bandkey").agg(F.count("*").alias("_kn"))
-        if band_bits <= 18:
-            sizes = F.broadcast(sizes)
-        n_salt = F.least(
-            F.ceil(F.col("_kn") / F.lit(salt_rows)), F.lit(max_salt)
-        ).cast("int")
-        kn = kn.join(sizes, "bandkey").withColumn("_ns", n_salt)
-        a = kn.select(
-            F.col("phash").alias("ph_a"),
-            F.col("bucket").alias("bucket_a"),
-            F.col("bandkey").alias("bk_a"),
-            F.pmod(F.xxhash64("phash"), F.col("_ns")).cast("int").alias(
-                "salt_a"
-            ),
-        )
-        b = kn.select(
-            F.col("phash").alias("ph_b"),
-            F.col("bucket").alias("bucket_b"),
-            F.col("bandkey").alias("bk_b"),
-            F.explode(
-                F.sequence(F.lit(0), F.col("_ns") - F.lit(1))
-            ).alias("salt_b"),
-        )
-        e = (
-            a.join(
-                b,
-                (F.col("bk_a") == F.col("bk_b"))
-                & (F.col("salt_a") == F.col("salt_b")),
+    # ALL upper bands in one exploded frame -> ONE self-join on
+    # (band, key) instead of n_upper sequential join jobs: identical
+    # candidate volume, a third of the shuffle/stage count (measured
+    # 6.0 s -> faster at sf0.1; at scale it is one exchange of 3x node
+    # rows vs three exchanges of 1x).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), bits + band_bits * k)
+                .bitwiseAND(F.lit(mask))
+                .cast("long")
+                .alias("key"),
             )
-            .where(
-                (F.col("bucket_a") < F.col("bucket_b"))
-                & (hamming(F.col("ph_a"), F.col("ph_b")) <= F.lit(radius))
-            )
-            .select(F.col("bucket_a").alias("a"), F.col("bucket_b").alias("b"))
+            for k in range(n_upper)
+        ]
+    )
+    kn = pc.select(
+        F.col("phash"), F.col("bucket"), F.explode(band_structs).alias("bk")
+    ).select(
+        "phash", "bucket", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    # skew guard: per-(band, key) node pre-count (the same pattern as
+    # the supergroup salting pass). Bounded by n_upper * 2^band_bits
+    # rows after the map-side combine; broadcast while that stays small.
+    sizes = kn.groupBy("band", "key").agg(F.count("*").alias("_kn"))
+    if band_bits <= 18:
+        sizes = F.broadcast(sizes)
+    n_salt = F.least(
+        F.ceil(F.col("_kn") / F.lit(salt_rows)), F.lit(max_salt)
+    ).cast("int")
+    kn = kn.join(sizes, ["band", "key"]).withColumn("_ns", n_salt)
+    a = kn.select(
+        F.col("phash").alias("ph_a"),
+        F.col("bucket").alias("bucket_a"),
+        F.col("band").alias("band_a"),
+        F.col("key").alias("key_a"),
+        F.pmod(F.xxhash64("phash"), F.col("_ns")).cast("int").alias("salt_a"),
+    )
+    b = kn.select(
+        F.col("phash").alias("ph_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_ns") - F.lit(1))).alias(
+            "salt_b"
+        ),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("key_a") == F.col("key_b"))
+            & (F.col("salt_a") == F.col("salt_b")),
         )
-        out = e if out is None else out.unionByName(e)
-    return out.distinct()
+        .where(
+            (F.col("bucket_a") < F.col("bucket_b"))
+            & (hamming(F.col("ph_a"), F.col("ph_b")) <= F.lit(radius))
+        )
+        .select(F.col("bucket_a").alias("a"), F.col("bucket_b").alias("b"))
+        .distinct()
+    )
 
 
 def _driver_cc(rows: list, spark) -> DataFrame:

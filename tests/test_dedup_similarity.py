@@ -332,13 +332,14 @@ def test_tfidf_topk_semantics(spark):
     assert (common.tfidf == 0.0).all()
 
 
-def test_clean_lines_matches_pandas_reference_randomized(spark):
+@pytest.mark.parametrize("seed", [20260816, 1, 2, 3, 4])
+def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     """Engine-vs-reference on a random corpus: clean_lines must equal a
     direct single-threaded implementation of its 4-step contract for
     every document, including blank-line survival and empty docs."""
     from collections import Counter
 
-    rng = np.random.default_rng(20260816)
+    rng = np.random.default_rng(seed)
     vocab = ["alpha beta", "  Cookie Banner  ", "cookie banner", "x", "",
              " nav | home ", "unique-%d", "Tail text here", "\t spaced \t"]
     docs = []
@@ -385,13 +386,14 @@ def test_clean_lines_matches_pandas_reference_randomized(spark):
     assert not bad, (bad[:3], [(got[d], expect[d]) for d in bad[:2]])
 
 
-def test_pack_bins_randomized_conservation_and_density(spark):
+@pytest.mark.parametrize("seed", [99, 7, 13, 21, 42])
+def test_pack_bins_randomized_conservation_and_density(spark, seed):
     """Random multi-key corpus, shards>1: every doc packs exactly once
     (doc and token totals conserved), bin ids are dense 0..max per key,
     and the packing is deterministic across invocations."""
     from stop_sync_osm_atlas_spark.operators.packing import pack_bins
 
-    rng = np.random.default_rng(99)
+    rng = np.random.default_rng(seed)
     pdf = pd.DataFrame(
         {
             "doc_id": [f"d{i:04d}" for i in range(800)],

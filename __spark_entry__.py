@@ -622,10 +622,13 @@ def q27_simhash(spark, sf):
 
 
 def q28_scrub_fingerprint(spark, sf):
-    """Regex PII/toxicity scrub (operators/scrub) over captions with
-    planted PII, plus the rolling/prefix document fingerprint
-    (functions/text.fingerprint) — the per-document scalar pass of the
-    curation pipeline, one scan."""
+    """Per-document hygiene pass: regex PII/toxicity scrub
+    (operators/scrub) over captions with planted PII, the
+    rolling/prefix document fingerprint (functions/text.fingerprint),
+    and (r4) train/eval DECONTAMINATION — 8-gram overlap of every doc
+    against the deterministic eval subset doc_id % 20 == 0
+    (operators/dedup.contamination_overlap; eval docs self-overlap at
+    1.0 by construction, which the oracle reproduces)."""
     pairs = _derived_pairs(spark, sf)
     d = _t(spark, sf, "documents").select("doc_id", "text")
     scrubbed = pairs.select(
@@ -634,7 +637,10 @@ def q28_scrub_fingerprint(spark, sf):
         SC.scrub_hit(F.col("caption")).alias("was_scrubbed"),
     )
     fp = d.select("doc_id", TX.fingerprint(F.col("text"), 64).alias("fp"))
-    return scrubbed.join(fp, "doc_id")
+    contam = DD.contamination_overlap(
+        d, d.where(F.col("doc_id") % 20 == 0), n=8
+    )
+    return scrubbed.join(fp, "doc_id").join(contam, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1425,6 +1431,51 @@ FROM sig0
 """
 
 
+def _oracle_q28() -> str:
+    """Scrub + fingerprint + (r4) decontamination: per-doc 8-gram
+    overlap against the doc_id % 20 == 0 eval subset, shingles hashed
+    to 60-bit md5 ints exactly as operators/dedup.contamination_overlap."""
+    n = 8
+    words = _sql_words("text")
+    shingles8 = (
+        f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
+        f"i -> list_aggregate(list_slice({words}, i, i + {n - 1}), 'string_agg', ' ')))"
+    )
+    h = "CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)"
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE text END AS caption
+  FROM documents
+),
+ct_trh AS (
+  SELECT id, {h} AS h FROM (
+    SELECT doc_id AS id, unnest({shingles8}) AS sh FROM documents
+  )
+),
+ct_te AS (
+  SELECT DISTINCT {h} AS h FROM (
+    SELECT unnest({shingles8}) AS sh FROM documents WHERE doc_id % 20 = 0
+  )
+),
+ct AS (
+  SELECT id, count(*) AS n_shingles,
+    CAST(sum(CASE WHEN te.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_contaminated
+  FROM ct_trh tr LEFT JOIN ct_te te USING (h) GROUP BY id
+)
+SELECT p.doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
+  (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed,
+  md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 64)) AS fp,
+  coalesce(ct.n_shingles, 0) AS n_shingles,
+  coalesce(ct.n_contaminated, 0) AS n_contaminated,
+  round(coalesce(ct.n_contaminated * 1.0 / ct.n_shingles, 0.0), 6) AS overlap_frac
+FROM pairs p LEFT JOIN ct ON ct.id = p.doc_id
+"""
+
+
 def _oracle_q26() -> str:
     """MinHash in SQL: same md5-anchored hash family as the engine."""
     words = _sql_words("text")
@@ -1798,19 +1849,7 @@ SELECT doc_id,
        THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """,
-        "q28_scrub_fingerprint": f"""
-WITH pairs AS (
-  SELECT doc_id, text,
-         CASE WHEN doc_id % 10 = 0
-              THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
-              ELSE text END AS caption
-  FROM documents
-)
-SELECT doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
-  (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed,
-  md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 64)) AS fp
-FROM pairs
-""",
+        "q28_scrub_fingerprint": _oracle_q28(),
         "q30_ann_methods": f"""
 SELECT 'brute' AS method, * FROM ({_oracle_q30()})
 UNION ALL

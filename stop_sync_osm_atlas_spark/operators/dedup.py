@@ -249,6 +249,76 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_overlap(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Train-set decontamination against a held-out eval set: per train
+    doc, the fraction of its word ``n``-gram shingles that appear
+    ANYWHERE in ``test`` -> (doc_id, n_shingles, n_contaminated,
+    overlap_frac). Docs with fewer than ``n`` words have no shingles
+    and report (0, 0, 0.0) — they cannot leak an n-gram.
+
+    The standard LLM-pretraining hygiene pass (n=8..13 word-gram
+    membership): a train doc overlapping an eval benchmark inflates
+    downstream scores and must be dropped or flagged before packing.
+
+    Scale shape (100 TB train, bounded eval): shingles travel as 60-bit
+    md5-derived ints, never strings — the join shuffles slim (id, hash)
+    pairs. ``broadcast_test=True`` (default: eval suites are millions
+    of shingles at most) hints the distinct test-shingle set broadcast,
+    making the pass scan-join-aggregate with ZERO full-data shuffles
+    except the per-doc count (which rides the same key the shingle
+    explode already produced). Pass False for a huge test side and the
+    join shuffles co-partitioned on the hash. Hash collisions (~1e-18
+    per pair at 60 bits) can only over-flag, deterministically.
+    """
+    tr = shingle_rows(train, n=n, text_col=text_col, id_col=id_col).select(
+        "id", md5_int(F.col("shingle"), hex_chars=15).alias("h")
+    )
+    te = (
+        shingle_rows(test, n=n, text_col=text_col, id_col=id_col)
+        .select(md5_int(F.col("shingle"), hex_chars=15).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    if broadcast_test:
+        te = F.broadcast(te)
+    per_doc = (
+        tr.join(te, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    ids = train.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias(
+                "n_shingles"
+            ),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("n_contaminated") / F.col("n_shingles"), F.lit(0.0)
+                ),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 def simhash_table(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

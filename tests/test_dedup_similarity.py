@@ -386,6 +386,94 @@ def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     assert not bad, (bad[:3], [(got[d], expect[d]) for d in bad[:2]])
 
 
+def test_contamination_overlap_planted(spark):
+    """Decontamination micro-case: a train doc embedding an eval 8-gram
+    verbatim is flagged with the exact overlap fraction; clean and
+    too-short docs report zero."""
+    from stop_sync_osm_atlas_spark.operators.dedup import contamination_overlap
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["leak", "clean", "short"],
+                "text": [
+                    "intro words " + bench + " trailing words here",
+                    "completely different content with many ordinary words in it",
+                    "too few words",
+                ],
+            }
+        )
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["b0"], "text": [bench]})
+    )
+    out = (
+        contamination_overlap(train, test, n=8)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # bench has 10 words -> 3 distinct 8-grams; 'leak' contains all 3
+    assert out.loc["leak", "n_contaminated"] == 3
+    assert out.loc["leak", "overlap_frac"] == round(
+        3 / out.loc["leak", "n_shingles"], 6
+    )
+    assert out.loc["clean", "n_contaminated"] == 0
+    assert out.loc["short", "n_shingles"] == 0
+    assert out.loc["short", "overlap_frac"] == 0.0
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_contamination_overlap_matches_reference(spark, seed):
+    """Engine vs direct pandas reference on a random corpus with
+    planted partial overlaps."""
+    from stop_sync_osm_atlas_spark.operators.dedup import contamination_overlap
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda k: " ".join(rng.choice(vocab, size=k))
+    test_docs = [mk(int(rng.integers(6, 20))) for _ in range(5)]
+    train_docs = []
+    for i in range(40):
+        t = mk(int(rng.integers(3, 25)))
+        if i % 3 == 0:  # splice a random eval span in
+            src = test_docs[int(rng.integers(0, len(test_docs)))]
+            words_src = src.split()
+            a = int(rng.integers(0, max(1, len(words_src) - 8)))
+            t = t + " " + " ".join(words_src[a : a + 9])
+        train_docs.append((f"t{i:02d}", t))
+
+    n = 8
+    sh = lambda s: {
+        " ".join(s.lower().split()[i : i + n])
+        for i in range(len(s.split()) - n + 1)
+    }
+    test_sh = set().union(*[sh(t) for t in test_docs])
+    expect = {}
+    for did, t in train_docs:
+        mine = sh(t)
+        expect[did] = (
+            len(mine),
+            len(mine & test_sh),
+            round(len(mine & test_sh) / len(mine), 6) if mine else 0.0,
+        )
+
+    train = spark.createDataFrame(
+        pd.DataFrame(train_docs, columns=["doc_id", "text"])
+    ).repartition(5)
+    test = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [f"e{i}" for i in range(5)], "text": test_docs}
+        )
+    )
+    out = contamination_overlap(train, test, n=n).toPandas()
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.overlap_frac)
+        for r in out.itertuples()
+    }
+    assert got == expect
+
+
 @pytest.mark.parametrize("seed", [99, 7, 13, 21, 42])
 def test_pack_bins_randomized_conservation_and_density(spark, seed):
     """Random multi-key corpus, shards>1: every doc packs exactly once

@@ -17,10 +17,16 @@ Contract (deterministic, order-preserving):
    threshold), unless the form is empty (blank separators stay).
 4. Reassemble surviving lines in original order.
 
-Scale shape (100 TB): one explode (bounded by total line count), the
-within-doc first-occurrence window partitions by (doc, line-form), the
-document frequency is a per-form aggregate joined back on the SAME key
-the explode already shuffled on, and the rebuild is one groupBy(doc).
+Scale shape (100 TB): the main branch is ONE text scan -> explode ->
+(doc, line-form) window -> broadcast boilerplate join -> one
+groupBy(doc) rebuild (the per-doc input line count rides the explode,
+so there is no second per-doc count scan and no final outer join). The
+boilerplate-frequency branch is a second pruned scan collapsed to
+scan -> explode -> filter -> map-side-distinct aggregate (no window:
+countDistinct(doc) is invariant under the first-occurrence dedup, and
+Catalyst's pushdown specializes the branch anyway, so sharing the main
+branch's exchange is not structurally possible); its output — the
+distinct boilerplate form set, compact by construction — broadcasts.
 No UDFs; the only higher-order call (rebuilding the line array) runs
 once per document over an already-aggregated array.
 """
@@ -45,58 +51,61 @@ def clean_lines(
     ``max_line_df``: a normalized line occurring in MORE than this many
     distinct documents is boilerplate and is removed everywhere.
     """
-    lines = docs.select(
+    # ONE scan: the line count rides the explode as a per-row constant,
+    # so no second pass over the (dominant at corpus scale) text column
+    # and no final per-doc join is needed — every doc has >= 1 exploded
+    # row (split always yields at least one element), so the single
+    # groupBy(id) below sees every doc, including ones whose lines all
+    # drop as boilerplate.
+    split_c = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    raw = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "pos", "line"
-        ),
+        F.size(split_c).alias("n_in"),
+        F.posexplode(split_c).alias("pos", "line"),
     ).withColumn("form", norm_text(F.col("line")))
 
     # within-doc first occurrence (step 2)
     first_w = W.partitionBy("id", "form").orderBy("pos")
-    lines = lines.withColumn("_rk", F.row_number().over(first_w)).where(
+    lines = raw.withColumn("_rk", F.row_number().over(first_w)).where(
         (F.col("_rk") == 1) | (F.col("form") == "")
     )
 
-    # corpus-wide document frequency per form (step 3); the groupBy key
-    # matches the window's leading key so the exchange is reused
+    # corpus-wide document frequency per form (step 3), computed from
+    # the RAW explode: countDistinct(id) is invariant under the
+    # first-occurrence dedup, and basing this branch on `raw` lets
+    # Catalyst prune it to scan -> explode -> filter -> two-level
+    # aggregate (no window/sort) with map-side (form, id) collapse —
+    # the branch shuffles only distinct (form, id) pairs.
     ldf = (
-        lines.where(F.col("form") != "")
+        raw.where(F.col("form") != "")
         .groupBy("form")
         .agg(F.countDistinct("id").alias("_df"))
         .where(F.col("_df") > F.lit(max_line_df))
         .select("form", F.lit(True).alias("_boiler"))
     )
-    kept = (
-        lines.join(ldf, "form", "left")
-        .where(F.col("_boiler").isNull())
-        .select("id", "pos", "line")
+    # boilerplate lines stay in the frame as NULLed entries (collect_list
+    # skips nulls) so ONE groupBy(id) rebuilds every doc — no separate
+    # per-doc count frame, no outer join
+    flagged = lines.join(ldf, "form", "left").select(
+        "id",
+        "n_in",
+        F.when(F.col("_boiler").isNull(), F.struct("pos", "line")).alias(
+            "_kept"
+        ),
     )
-
-    rebuilt = kept.groupBy("id").agg(
+    rebuilt = flagged.groupBy("id").agg(
         F.concat_ws(
             "\n",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+                F.array_sort(F.collect_list("_kept")), lambda s: s["line"]
             ),
         ).alias("text_clean"),
-        F.count("*").alias("n_lines_kept"),
+        F.first("n_in").alias("n_lines_in"),
+        F.count("_kept").alias("n_lines_kept"),
     )
-    n_in = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "n_lines_in"
-        ),
-    )
-    return (
-        n_in.join(rebuilt, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            "n_lines_in",
-            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias(
-                "n_lines_kept"
-            ),
-        )
+    return rebuilt.select(
+        F.col("id").alias(id_col),
+        "text_clean",
+        "n_lines_in",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
     )

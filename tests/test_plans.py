@@ -183,6 +183,21 @@ def test_tfidf_plan_building_runs_no_job(spark):
     assert list(jobs) == [], jobs
 
 
+def test_clean_lines_plan_shape(spark):
+    """clean_lines' 100 TB contract (r4 rework): exactly TWO pruned
+    text scans (main branch + the aggregate-collapsed boilerplate
+    branch — down from three: the per-doc line count now rides the
+    explode, killing the separate count scan and its outer join) and
+    exactly ONE window (the boilerplate branch is a plain aggregate;
+    its old first-occurrence window was redundant for countDistinct)."""
+    from stop_sync_osm_atlas_spark.operators.lines import clean_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(clean_lines(docs))
+    assert plan.count(") Scan parquet") == 2, plan
+    assert plan.count(") Window") == 1, plan
+
+
 def test_decisions_sink_partition_pruning(spark, tmp_path):
     """The 100x read-path claim for the decisions sink: a part_bucket
     predicate over the directory-partitioned parquet layout must become

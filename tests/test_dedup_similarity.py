@@ -473,6 +473,17 @@ def test_contamination_overlap_matches_reference(spark, seed):
     }
     assert got == expect
 
+    # the huge-eval-side fallback (shuffled join, no broadcast hint)
+    # must be value-identical
+    out2 = contamination_overlap(
+        train, test, n=n, broadcast_test=False
+    ).toPandas()
+    got2 = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.overlap_frac)
+        for r in out2.itertuples()
+    }
+    assert got2 == expect
+
 
 @pytest.mark.parametrize("seed", [99, 7, 13, 21, 42])
 def test_pack_bins_randomized_conservation_and_density(spark, seed):

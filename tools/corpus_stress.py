@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Documents-side scale stress: prepare_corpus on a 20x-tiled corpus.
+
+The graded fixture tops out at 5,000 documents (sf0.1); this tool
+builds a 100k-doc corpus by tiling it 20x — each tile's text gets a
+tile-unique leading token, so tiles are NOT exact duplicates but are
+MinHash near-duplicates of each other (est_jaccard ~0.95+), which is
+exactly the dup-heavy structure of a real web crawl. The pipeline must
+(a) survive the ~20x candidate-pair amplification in the LSH stage,
+(b) train its models on the ~20x survivor set, and (c) conserve every
+input doc exactly once in `decisions`.
+
+Usage:
+    python tools/corpus_stress.py [--cpus 8] [--tiles 20]
+    python tools/corpus_stress.py --scaling     # local[2] vs local[8]
+
+Prints one JSON line per run; --scaling appends a section to
+BENCH/BASELINE.md. Run nothing else Spark-side while timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_corpus(tiles: int, n_shards: int = 32) -> str:
+    import duckdb
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/spark_graft_bench/docs_x{tiles}"
+    marker = os.path.join(path, "_done")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    # deterministic tiling in DuckDB (no Spark session needed): unique
+    # doc_id per tile + a tile-unique leading token. Written as MANY
+    # files — a single file under the session's 16 MB split size would
+    # give every scan stage one partition and measure input layout, not
+    # the pipeline.
+    tbl = duckdb.sql(
+        f"""
+        SELECT d.doc_id + t.t * 1000000 AS doc_id,
+               'tile' || CAST(t.t AS VARCHAR) || ' ' || d.text AS text,
+               d.lang
+        FROM read_parquet('{SF_DIR}/documents.parquet') d,
+             (SELECT unnest(range({tiles})) AS t) t
+        ORDER BY doc_id
+        """
+    ).arrow()
+    n = tbl.num_rows
+    step = (n + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        chunk = tbl.slice(s * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{s:03d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def run_once(cpus: int, tiles: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+    from stop_sync_osm_atlas_spark.session import get_spark
+
+    path = ensure_corpus(tiles)
+    spark = get_spark(master=f"local[{cpus}]")
+    docs = spark.read.parquet(path)
+    n_in = docs.count()
+
+    # warm-up on the plain fixture (codegen + Python workers), then time
+    dec_w, bins_w = prepare_corpus(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    bins_w.count()
+    dec_w.unpersist()
+
+    t0 = time.time()
+    decisions, bins = prepare_corpus(docs)
+    n_bins = bins.count()
+    wall = time.time() - t0
+
+    by = {
+        r["reason"]: r["n"]
+        for r in decisions.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    n_out = decisions.count()
+    decisions.unpersist()
+    return {
+        "cpus": cpus,
+        "tiles": tiles,
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "conserved": n_in == n_out,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_in / wall, 1),
+        "n_bins": n_bins,
+        "reasons": by,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--tiles", type=int, default=20)
+    ap.add_argument("--scaling", action="store_true")
+    args = ap.parse_args()
+
+    if not args.scaling:
+        print(json.dumps(run_once(args.cpus, args.tiles)))
+        return
+
+    results = {}
+    for c in (2, 8):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(c),
+             "--tiles", str(args.tiles)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[c] = json.loads(line)
+    lo, hi = results[2], results[8]
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+    report = {
+        "metric": "corpus_prep_scaling_local2_vs_local8",
+        "value": round(eff, 4),
+        "docs": lo["docs_in"],
+        "wall_local2": lo["wall_sec"],
+        "wall_local8": hi["wall_sec"],
+        "docs_per_sec_local2": lo["docs_per_sec"],
+        "docs_per_sec_local8": hi["docs_per_sec"],
+        "conserved": lo["conserved"] and hi["conserved"],
+        "reasons": hi["reasons"],
+    }
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "BASELINE.md",
+    )
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(md, "a") as fh:
+        fh.write(
+            f"\n## Corpus-pipeline scale stress {stamp}\n"
+            f"- input: {lo['docs_in']} docs (20x-tiled sf0.1 documents; tiles are\n"
+            f"  mutual MinHash near-duplicates — dup-heavy web-crawl structure)\n"
+            f"- local[2]: {lo['wall_sec']} s -> {lo['docs_per_sec']} docs/sec; "
+            f"local[8]: {hi['wall_sec']} s -> {hi['docs_per_sec']} docs/sec\n"
+            f"- scaling efficiency (N vs 4N cores): **{round(eff, 4)}**\n"
+            f"- conservation: every input doc decided exactly once = "
+            f"{report['conserved']}; reason mix {hi['reasons']}\n"
+        )
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

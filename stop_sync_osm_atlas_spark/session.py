@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.default.parallelism", str(n_threads))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Deliberately NO initialPartitionNum widening: measured on this
+        # box (BENCH/BASELINE.md "Data-size linearity"), starting
+        # shuffles at 4x threads bought only ~6.5% at 6.4M rows while
+        # STABLY doubling the many-small-stage pipeline queries at the
+        # 200k bench scale (more tasks -> per-task/Python-fork overhead
+        # dominates). On a real cluster with 100x executors the initial
+        # width comes from spark-submit conf, not this factory.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -691,12 +691,35 @@ def q44_banded_cosine_pairs(spark, sf):
 
 
 def q45_hash_sample(spark, sf):
-    """Deterministic md5-bucket sampling (O5; reference
-    backend/services/search.py:192-206 random.sample made replayable)."""
-    from stop_sync_osm_atlas_spark.operators.sampling import hash_sample
+    """Deterministic sampling, BOTH modes graded (O5; reference
+    backend/services/search.py:192-206 random.sample made replayable):
+    mode='uniform' = flat md5-bucket rate; mode='mixture' (r4) = domain
+    mixture sampling (operators/sampling.mixture_sample) — per-lang
+    rates hit a 40/20/20/20 en/de/fr/zh token mixture under a 6k-token
+    budget ('es' is deliberately unlisted -> sampled at rate 0), with
+    the rate thresholds re-derived exactly by the oracle."""
+    from stop_sync_osm_atlas_spark.operators.sampling import (
+        hash_sample,
+        mixture_sample,
+    )
 
     d = _t(spark, sf, "documents")
-    return hash_sample(d, rate_buckets=100, n_buckets=1000).select("doc_id", "lang")
+    uni = (
+        hash_sample(d, rate_buckets=100, n_buckets=1000)
+        .select("doc_id", "lang")
+        .withColumn("mode", F.lit("uniform"))
+    )
+    mix = (
+        mixture_sample(
+            d,
+            weights={"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2},
+            budget_tokens=6_000,
+            token_col=TX.token_count_bpe_ish(F.col("text")),
+        )
+        .select("doc_id", "lang")
+        .withColumn("mode", F.lit("mixture"))
+    )
+    return uni.unionByName(mix)
 
 
 def q46_strict_merge(spark, sf):
@@ -1974,8 +1997,25 @@ WITH probe AS (
 SELECT * FROM strict UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM suffix
 """,
         "q45_hash_sample": """
-SELECT doc_id, lang FROM documents
+WITH toks AS (
+  SELECT doc_id, lang,
+    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+  FROM documents
+), tot AS (
+  SELECT lang, CAST(sum(tok) AS BIGINT) AS tokens FROM toks GROUP BY lang
+), rates AS (
+  SELECT t.lang,
+    CAST(floor(least(1.0, 6000.0 * w.w / t.tokens) * 1000000) AS BIGINT) AS thr
+  FROM tot t
+  JOIN (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('zh', 0.2)) AS w(lang, w)
+    ON w.lang = t.lang
+)
+SELECT doc_id, lang, 'uniform' AS mode FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100
+UNION ALL
+SELECT d.doc_id, d.lang, 'mixture' AS mode
+FROM documents d JOIN rates r ON r.lang = d.lang
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.thr
 """,
         "q40_embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -487,16 +487,32 @@ def q38_viewport(spark, sf):
 
 def q20_doc_stats(spark, sf):
     """Text-statistic rules as grouped aggregates (token counting,
-    symbol ratio, stopword density — SURVEY §2.9 heuristics)."""
+    symbol ratio, stopword density — SURVEY §2.9 heuristics), plus
+    (r4) Gopher-style within-doc line-repetition signals
+    (operators/lines.line_stats) averaged per lang."""
+    from stop_sync_osm_atlas_spark.operators.lines import line_stats
+
     d = _t(spark, sf, "documents")
     cap = F.col("text")
-    return d.groupBy("lang").agg(
+    base = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(TX.n_words(cap)), 4).alias("avg_words"),
         F.round(F.avg(TX.symbol_ratio(cap)), 6).alias("avg_symbol_ratio"),
         F.round(F.avg(TX.stopword_density(cap, ALL_STOPWORDS)), 6).alias("avg_stopword_density"),
         F.sum(TX.token_count_bpe_ish(cap)).alias("total_tokens"),
     )
+    rep = (
+        line_stats(d)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
+            F.round(F.avg("dup_line_char_frac"), 6).alias(
+                "avg_dup_line_char_frac"
+            ),
+        )
+    )
+    return base.join(rep, "lang")
 
 
 def q21_exact_dedup(spark, sf):
@@ -1034,13 +1050,43 @@ def _oracle_q20() -> str:
     )
     tok = "len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
     return f"""
-SELECT lang,
-  count(*) AS n_docs,
-  round(avg({nw}), 4) AS avg_words,
-  round(avg({sym}), 6) AS avg_symbol_ratio,
-  round(avg({swd}), 6) AS avg_stopword_density,
-  CAST(sum({tok}) AS BIGINT) AS total_tokens
-FROM documents GROUP BY lang
+WITH base AS (
+  SELECT lang,
+    count(*) AS n_docs,
+    round(avg({nw}), 4) AS avg_words,
+    round(avg({sym}), 6) AS avg_symbol_ratio,
+    round(avg({swd}), 6) AS avg_stopword_density,
+    CAST(sum({tok}) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+),
+ls_form AS (
+  SELECT doc_id, form, count(*) AS c, length(form) AS len
+  FROM (
+    SELECT doc_id, lower(trim(line)) AS form
+    FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+          FROM documents)
+  ) WHERE form <> ''
+  GROUP BY doc_id, form
+),
+ls_doc AS (
+  SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS dups,
+    sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars
+  FROM ls_form GROUP BY doc_id
+),
+ls AS (
+  SELECT d.doc_id, d.lang,
+    round(coalesce(l.dups * 1.0 / l.n_lines, 0.0), 6) AS dup_line_frac,
+    round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) AS dup_line_char_frac
+  FROM documents d LEFT JOIN ls_doc l USING (doc_id)
+),
+rep AS (
+  SELECT lang,
+    round(avg(dup_line_frac), 6) AS avg_dup_line_frac,
+    round(avg(dup_line_char_frac), 6) AS avg_dup_line_char_frac
+  FROM ls GROUP BY lang
+)
+SELECT base.*, rep.avg_dup_line_frac, rep.avg_dup_line_char_frac
+FROM base JOIN rep USING (lang)
 """
 
 

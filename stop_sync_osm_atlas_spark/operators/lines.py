@@ -40,6 +40,58 @@ from pyspark.sql import Window as W
 from ..functions.text import norm_text
 
 
+def line_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals ->
+    (id_col, n_lines, dup_line_frac, dup_line_char_frac).
+
+    Over NON-EMPTY normalized lines of each document:
+    dup_line_frac       = (lines - distinct lines) / lines
+    dup_line_char_frac  = chars in repeat occurrences / total chars
+    (a line form occurring c times with L chars contributes (c-1)*L).
+    Documents with no non-empty lines report (0, 0.0, 0.0).
+
+    Scale shape: one explode, one (doc, line-form) aggregate, one
+    per-doc aggregate — the same shuffle key layout as clean_lines'
+    main branch; no window, no UDF. The standard repetition filters of
+    the Gopher/MassiveText quality rules, kept deterministic and
+    SQL-mirrorable for the oracle.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("line"),
+        )
+        .withColumn("form", norm_text(F.col("line")))
+        .where(F.col("form") != "")
+    )
+    per_form = lines.groupBy("id", "form").agg(
+        F.count("*").alias("_c"), F.length(F.first("form")).alias("_len")
+    )
+    per_doc = per_form.groupBy("id").agg(
+        F.sum("_c").alias("n_lines"),
+        (F.sum("_c") - F.count("*")).alias("_dups"),
+        F.sum(F.col("_c") * F.col("_len")).alias("_chars"),
+        F.sum((F.col("_c") - 1) * F.col("_len")).alias("_dup_chars"),
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+        F.round(
+            F.coalesce(F.col("_dups") / F.col("n_lines"), F.lit(0.0)), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(F.col("_dup_chars") / F.col("_chars"), F.lit(0.0)), 6
+        ).alias("dup_line_char_frac"),
+    )
+
+
 def clean_lines(
     docs: DataFrame,
     max_line_df: int = 2,

@@ -386,6 +386,35 @@ def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     assert not bad, (bad[:3], [(got[d], expect[d]) for d in bad[:2]])
 
 
+def test_line_stats_gopher_repetition(spark):
+    """Planted repetition: 4 non-empty lines of which 'nav | home'
+    repeats twice more -> dup_line_frac 2/4; char fraction weighted by
+    the repeated line's length. Empty lines and empty docs are inert."""
+    from stop_sync_osm_atlas_spark.operators.lines import line_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["rep", "clean", "empty"],
+                "text": [
+                    "nav | home\nbody text\n\nnav | home\nNAV | HOME",
+                    "one\ntwo\nthree",
+                    "\n\n",
+                ],
+            }
+        )
+    )
+    out = line_stats(docs).toPandas().set_index("doc_id")
+    assert out.loc["rep", "n_lines"] == 4
+    assert out.loc["rep", "dup_line_frac"] == 0.5
+    # 'nav | home' normalized is 10 chars, repeated 2 extra times;
+    # total chars = 3*10 + len('body text')=9 -> 20/39
+    assert out.loc["rep", "dup_line_char_frac"] == round(20 / 39, 6)
+    assert out.loc["clean", "dup_line_frac"] == 0.0
+    assert out.loc["empty", "n_lines"] == 0
+    assert out.loc["empty", "dup_line_char_frac"] == 0.0
+
+
 def test_contamination_overlap_planted(spark):
     """Decontamination micro-case: a train doc embedding an eval 8-gram
     verbatim is flagged with the exact overlap fraction; clean and

@@ -14,6 +14,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,21 +123,62 @@ def q01_pricing_summary(spark, sf):
     )
 
 
+# prepare_corpus's caching contract leaves its decisions frame
+# persisted; the driver/bench materialize q02 and move on, so keep at
+# most ONE live cached frame across repeated calls (bench best-of-3
+# previously accumulated one per run — ADVICE r4).
+_Q02_LIVE: list[DataFrame] = []
+
+
 def q02_corpus_prep(spark, sf):
     """The composed LLM-corpus preparation pipeline graded END-TO-END
-    (plans/corpus.prepare_corpus): line-level cleaning -> exact dedup ->
-    MinHash-LSH near-dedup -> fused-trained quality-model ladder -> one
-    (doc_id, lang, reason, decision, n_tok) row per input doc. The
-    oracle (_oracle_q02) re-derives every stage in SQL, including BOTH
-    trained models with the train-on-survivors / score-everything split.
+    (plans/corpus.prepare_corpus), BOTH output frames in one union:
+    mode='decision' = line cleaning -> exact dedup -> MinHash-LSH
+    near-dedup -> Gopher line-repetition gate -> fused-trained
+    quality-model ladder, one row per input doc; mode='bin' = the
+    SAME run's packed training bins over the kept docs (the artifact a
+    trainer actually consumes). The oracle (_oracle_q02) re-derives
+    every stage in SQL, including BOTH trained models with the
+    train-on-survivors split and the global packing window.
     (The former q02_filter_project's F1/F6/F7 coverage is subsumed by
     q15's LIKE/prefix filters and q38's range predicates — COVERAGE.md.)
     """
     from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
 
+    while _Q02_LIVE:
+        _Q02_LIVE.pop().unpersist()
     d = _t(spark, sf, "documents")
-    decisions, _bins = prepare_corpus(d)
-    return decisions
+    decisions, bins = prepare_corpus(d)
+    _Q02_LIVE.append(decisions)
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    dec_rows = decisions.select(
+        F.lit("decision").alias("mode"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "reason",
+        "decision",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        nl.alias("bin"),
+        nl.alias("n_docs"),
+        nl.alias("total_tokens"),
+        nl.alias("first_doc"),
+        nl.alias("last_doc"),
+    )
+    bin_rows = bins.select(
+        F.lit("bin").alias("mode"),
+        nl.alias("doc_id"),
+        "lang",
+        ns.alias("reason"),
+        ns.alias("decision"),
+        nl.alias("n_tok"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("first_doc").cast("long").alias("first_doc"),
+        F.col("last_doc").cast("long").alias("last_doc"),
+    )
+    return dec_rows.unionByName(bin_rows)
 
 
 def q03_join_revenue(spark, sf):
@@ -789,9 +831,15 @@ def q53_stream_dedup(spark, sf):
     pairs = _derived_pairs(spark, sf).select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     )
-    # deterministic staging path (hash() is PYTHONHASHSEED-randomized
-    # across driver processes and would leak a fresh /tmp copy per run)
-    tmp = f"/tmp/spark_graft_q53_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    # deterministic PER-PROCESS staging path: md5(sf) keeps re-runs in one
+    # driver from leaking fresh /tmp copies (hash() was PYTHONHASHSEED-
+    # randomized), while the pid discriminator keeps two drivers grading
+    # the same fixture concurrently from overwriting each other's staging
+    # dir mid-stream (each cleans up only its own copy below).
+    tmp = (
+        f"/tmp/spark_graft_q53_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+        f"_p{os.getpid()}"
+    )
     pairs.write.mode("overwrite").parquet(tmp)
     name = "q53_dedup_sink"
     q = (
@@ -1422,8 +1470,11 @@ def _oracle_q02() -> str:
     (operators/lines.clean_lines, max_line_df=2) -> exact dedup on the
     cleaned text (md5, min doc_id survives) -> MinHash-LSH near-dedup
     over the survivors (threshold 0.5; pair losers = larger doc_id) ->
-    BOTH quality models trained on the survivors and scored over every
-    doc -> the first-matching-reason ladder."""
+    Gopher line-repetition gate (line_stats fracs over the RAW lines,
+    >0.30 dup lines or >0.20 dup chars) -> BOTH quality models trained
+    on the survivors and scored over every doc -> the
+    first-matching-reason ladder -> the global packing window over the
+    kept docs (mode='bin' rows, budget 512)."""
     words = _sql_words("c.text")
     return f"""
 WITH dl AS (
@@ -1468,11 +1519,23 @@ surv AS (
 ),
 {_minhash_pair_ctes('surv', 0.5)[0]},
 near AS (SELECT DISTINCT b_id AS doc_id FROM mh_pairs),
+lsf AS (
+  SELECT doc_id, form, count(*) AS c, length(form) AS len
+  FROM lrow WHERE form <> '' GROUP BY doc_id, form
+),
+lsd AS (
+  SELECT doc_id, sum(c) AS n_l, sum(c) - count(*) AS dups,
+    sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars
+  FROM lsf GROUP BY doc_id
+),
 {_ppl_ctes_for(score='clean', train='surv')},
 {_nb_ctes_for(score='clean', train='surv')},
 sig0 AS (
   SELECT c.doc_id, c.lang, fpr.fp_rk,
     (n.doc_id IS NOT NULL) AS is_near,
+    (round(coalesce(l.dups * 1.0 / l.n_l, 0.0), 6) > 0.30
+     OR round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) > 0.20)
+      AS is_rep,
     (trim(c.text) = '') AS is_empty,
     CAST(len({words}) AS INT) AS n_tok,
     s.ppl,
@@ -1480,23 +1543,47 @@ sig0 AS (
   FROM clean c
   JOIN fpr USING (doc_id)
   LEFT JOIN near n ON n.doc_id = c.doc_id
+  LEFT JOIN lsd l ON l.doc_id = c.doc_id
   JOIN prep p USING (doc_id)
   LEFT JOIN ppl_scored s USING (doc_id)
   LEFT JOIN best b USING (doc_id)
+),
+dec AS (
+  SELECT doc_id, lang,
+    CASE WHEN fp_rk > 1 THEN 'exact_dup'
+         WHEN is_near THEN 'near_dup'
+         WHEN is_rep THEN 'high_line_repetition'
+         WHEN is_empty THEN 'empty'
+         WHEN n_tok < 5 THEN 'too_short'
+         WHEN ppl > 6.0 THEN 'high_perplexity'
+         WHEN pred_lang <> lang THEN 'langid_mismatch'
+         ELSE 'keep' END AS reason,
+    CASE WHEN fp_rk > 1 OR is_near OR is_rep OR is_empty OR n_tok < 5
+           OR ppl > 6.0 OR pred_lang <> lang
+         THEN 'drop' ELSE 'keep' END AS decision,
+    n_tok
+  FROM sig0
+),
+packed AS (
+  SELECT lang, doc_id, n_tok,
+    CAST(floor(coalesce(sum(n_tok) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+      AS BIGINT) AS bin
+  FROM dec WHERE decision = 'keep'
 )
-SELECT doc_id, lang,
-  CASE WHEN fp_rk > 1 THEN 'exact_dup'
-       WHEN is_near THEN 'near_dup'
-       WHEN is_empty THEN 'empty'
-       WHEN n_tok < 5 THEN 'too_short'
-       WHEN ppl > 6.0 THEN 'high_perplexity'
-       WHEN pred_lang <> lang THEN 'langid_mismatch'
-       ELSE 'keep' END AS reason,
-  CASE WHEN fp_rk > 1 OR is_near OR is_empty OR n_tok < 5
-         OR ppl > 6.0 OR pred_lang <> lang
-       THEN 'drop' ELSE 'keep' END AS decision,
-  n_tok
-FROM sig0
+SELECT 'decision' AS mode, CAST(doc_id AS BIGINT) AS doc_id, lang,
+  reason, decision, CAST(n_tok AS BIGINT) AS n_tok,
+  CAST(NULL AS BIGINT) AS bin, CAST(NULL AS BIGINT) AS n_docs,
+  CAST(NULL AS BIGINT) AS total_tokens,
+  CAST(NULL AS BIGINT) AS first_doc, CAST(NULL AS BIGINT) AS last_doc
+FROM dec
+UNION ALL
+SELECT 'bin', CAST(NULL AS BIGINT), lang,
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  bin, count(*), CAST(sum(n_tok) AS BIGINT),
+  CAST(min(doc_id) AS BIGINT), CAST(max(doc_id) AS BIGINT)
+FROM packed GROUP BY lang, bin
 """
 
 

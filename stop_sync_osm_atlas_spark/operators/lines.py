@@ -97,11 +97,22 @@ def clean_lines(
     max_line_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_stats: bool = False,
 ) -> DataFrame:
     """-> (id_col, text_clean, n_lines_in, n_lines_kept).
 
     ``max_line_df``: a normalized line occurring in MORE than this many
     distinct documents is boilerplate and is removed everywhere.
+
+    ``with_stats``: additionally emit the ``line_stats`` Gopher
+    repetition signals (``dup_line_frac``, ``dup_line_char_frac``,
+    computed over the RAW pre-cleaning lines — post-cleaning they are 0
+    by construction) for FREE: the per-(doc, form) occurrence count
+    rides the existing first-occurrence window (same partition+order
+    spec, so one Window operator, zero extra shuffles or scans), and
+    the per-doc reductions ride the existing rebuild aggregate. This is
+    how the corpus pipeline feeds its ``high_line_repetition`` rule
+    without a third text scan.
     """
     # ONE scan: the line count rides the explode as a per-row constant,
     # so no second pass over the (dominant at corpus scale) text column
@@ -116,11 +127,17 @@ def clean_lines(
         F.posexplode(split_c).alias("pos", "line"),
     ).withColumn("form", norm_text(F.col("line")))
 
-    # within-doc first occurrence (step 2)
+    # within-doc first occurrence (step 2). When stats ride along, the
+    # per-(doc, form) occurrence count uses the SAME partition+order
+    # spec (full-frame window), so Catalyst plans ONE Window operator —
+    # after the rk==1 filter each non-empty form survives exactly once
+    # carrying its total count, which is all line_stats needs.
     first_w = W.partitionBy("id", "form").orderBy("pos")
-    lines = raw.withColumn("_rk", F.row_number().over(first_w)).where(
-        (F.col("_rk") == 1) | (F.col("form") == "")
-    )
+    lines = raw.withColumn("_rk", F.row_number().over(first_w))
+    if with_stats:
+        cnt_w = first_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        lines = lines.withColumn("_cnt", F.count("*").over(cnt_w))
+    lines = lines.where((F.col("_rk") == 1) | (F.col("form") == ""))
 
     # corpus-wide document frequency per form (step 3), computed from
     # the RAW explode: countDistinct(id) is invariant under the
@@ -138,13 +155,37 @@ def clean_lines(
     # boilerplate lines stay in the frame as NULLed entries (collect_list
     # skips nulls) so ONE groupBy(id) rebuilds every doc — no separate
     # per-doc count frame, no outer join
+    stat_cols = []
+    if with_stats:
+        # each surviving non-empty form appears exactly once (rk==1)
+        # with its in-doc occurrence total _cnt — the line_stats inputs
+        ne = F.col("form") != ""
+        stat_cols = [
+            F.when(ne, F.col("_cnt")).otherwise(F.lit(0)).alias("_sc"),
+            F.when(ne, F.col("_cnt") * F.length("form"))
+            .otherwise(F.lit(0))
+            .alias("_schars"),
+            F.when(ne, (F.col("_cnt") - 1) * F.length("form"))
+            .otherwise(F.lit(0))
+            .alias("_sdup_chars"),
+            F.when(ne, F.lit(1)).otherwise(F.lit(0)).alias("_sforms"),
+        ]
     flagged = lines.join(ldf, "form", "left").select(
         "id",
         "n_in",
         F.when(F.col("_boiler").isNull(), F.struct("pos", "line")).alias(
             "_kept"
         ),
+        *stat_cols,
     )
+    stat_aggs = []
+    if with_stats:
+        stat_aggs = [
+            F.sum("_sc").alias("_n_ne"),
+            F.sum("_sforms").alias("_n_forms"),
+            F.sum("_schars").alias("_chars"),
+            F.sum("_sdup_chars").alias("_dup_chars"),
+        ]
     rebuilt = flagged.groupBy("id").agg(
         F.concat_ws(
             "\n",
@@ -154,10 +195,33 @@ def clean_lines(
         ).alias("text_clean"),
         F.first("n_in").alias("n_lines_in"),
         F.count("_kept").alias("n_lines_kept"),
+        *stat_aggs,
     )
+    out_stats = []
+    if with_stats:
+        # identical rounding convention to line_stats so the oracle and
+        # the rule threshold compare the same 6-decimal value
+        # explicit zero-guards (not coalesce-after-divide): a doc with no
+        # non-empty lines divides by 0, which raises under ANSI mode
+        out_stats = [
+            F.round(
+                F.when(
+                    F.col("_n_ne") > 0,
+                    (F.col("_n_ne") - F.col("_n_forms")) / F.col("_n_ne"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.col("_chars") > 0, F.col("_dup_chars") / F.col("_chars")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_line_char_frac"),
+        ]
     return rebuilt.select(
         F.col("id").alias(id_col),
         "text_clean",
         "n_lines_in",
         F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        *out_stats,
     )

@@ -49,14 +49,29 @@ def prepare_corpus(
     min_words: int = 5,
     pack_budget: int = 512,
     pack_shards: int = 1,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (decisions, bins).
 
     ``decisions``: (doc_id, lang, decision, reason, n_tok) — one row per
     input doc; decision in {keep, drop}; reason is the first matching
-    rule (exact_dup / near_dup / empty / too_short / high_perplexity /
-    langid_mismatch) or 'keep'.
+    rule (exact_dup / near_dup / high_line_repetition / empty /
+    too_short / high_perplexity / langid_mismatch) or 'keep'.
     ``bins``: pack_bins output over the kept docs.
+
+    ``max_dup_line_frac`` / ``max_dup_line_char_frac``: the Gopher /
+    MassiveText repetition thresholds (reference pattern: every computed
+    mismatch signal feeds the problem ladder,
+    matching_process/problem_detection.py:417-472). A doc whose RAW text
+    exceeds EITHER — fraction of duplicate non-empty lines, or fraction
+    of characters inside repeat line occurrences — drops with reason
+    ``high_line_repetition``. The signals are line_stats' fractions,
+    computed pre-cleaning (cleaning itself removes within-doc repeats,
+    so post-clean they are 0 by construction) and ride clean_lines'
+    existing window + rebuild aggregate at zero extra scans. Placed
+    before the cleaned-text quality rules: a fully-repetitive doc would
+    otherwise collapse under cleaning and misreport as too_short.
 
     Expects (doc_id, text, lang) columns; extra columns pass through to
     the cleaning stage and are dropped afterwards.
@@ -65,7 +80,7 @@ def prepare_corpus(
     (it was materialized to free the internal text-bearing cache) —
     call ``decisions.unpersist()`` when finished with both outputs.
     """
-    cleaned = clean_lines(docs, max_line_df=max_line_df)
+    cleaned = clean_lines(docs, max_line_df=max_line_df, with_stats=True)
     base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
 
     # exact dedup on the CLEANED text (q21 shape): keep min doc_id.
@@ -110,6 +125,11 @@ def prepare_corpus(
     reason = (
         F.when(F.col("_fp_rk") > 1, F.lit("exact_dup"))
         .when(F.col("_near"), F.lit("near_dup"))
+        .when(
+            (F.col("dup_line_frac") > F.lit(max_dup_line_frac))
+            | (F.col("dup_line_char_frac") > F.lit(max_dup_line_char_frac)),
+            F.lit("high_line_repetition"),
+        )
         .when(F.trim(F.col("text_clean")) == "", F.lit("empty"))
         .when(F.col("n_tok") < min_words, F.lit("too_short"))
         .when(F.col("_ppl") > ppl_threshold, F.lit("high_perplexity"))

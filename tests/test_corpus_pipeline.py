@@ -36,7 +36,14 @@ def corpus_df(spark):
 def test_prepare_corpus_conservation(spark, corpus_df):
     from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
 
-    decisions, bins = prepare_corpus(corpus_df, max_line_df=2)
+    # the fixture's body\nbody docs carry dup_line_frac 1/3 by design
+    # (they exercise within-doc line cleaning); raise the repetition
+    # thresholds above that so this test keeps grading the model ladder —
+    # the rule itself is graded by test_high_line_repetition_rule
+    decisions, bins = prepare_corpus(
+        corpus_df, max_line_df=2,
+        max_dup_line_frac=0.5, max_dup_line_char_frac=0.75,
+    )
     dec = decisions.toPandas()
     n_in = corpus_df.count()
 
@@ -63,7 +70,46 @@ def test_prepare_corpus_conservation(spark, corpus_df):
     assert b["total_tokens"].sum() == kept["n_tok"].sum()
 
     # determinism: a second invocation yields identical decisions
-    dec2 = prepare_corpus(corpus_df, max_line_df=2)[0].toPandas()
+    dec2 = prepare_corpus(
+        corpus_df, max_line_df=2,
+        max_dup_line_frac=0.5, max_dup_line_char_frac=0.75,
+    )[0].toPandas()
     a = dec.sort_values("doc_id").reset_index(drop=True)
     c = dec2.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_high_line_repetition_rule(spark):
+    """The Gopher/MassiveText repetition gate at DEFAULT thresholds
+    (0.30 dup lines / 0.20 dup chars, over the RAW pre-cleaning text):
+    planted repetitive docs drop with reason high_line_repetition —
+    ahead of the cleaned-text rules, since cleaning collapses the
+    repeats and would otherwise misreport them as too_short — while
+    docs below both thresholds never carry the reason."""
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    body = "the quick brown fox jumps over the lazy dog again today"
+    rows = []
+    # repetitive: one line x 10 (frac 0.9) — cleaning collapses it to a
+    # single line, so without the gate this doc would read as a normal
+    # short doc
+    rows.append(("rep0", "\n".join(["spam offer click here now"] * 10), "en"))
+    # repetitive by CHAR fraction only: one long dup line among many
+    # short distinct ones (line frac 1/8 < 0.30, char frac > 0.20)
+    longline = " ".join(["repeated boilerplate sentence"] * 4)
+    rows.append(
+        ("rep1", "\n".join([longline, longline] + [f"s{i}" for i in range(6)]), "en")
+    )
+    # clean controls: distinct lines, below both thresholds
+    for i in range(20):
+        rows.append((f"c{i:02d}", f"{body} {i}\nsecond line {i} differs", "en"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+    decisions, _ = prepare_corpus(df)
+    dec = decisions.toPandas().set_index("doc_id")
+    decisions.unpersist()
+    assert dec.loc["rep0", "reason"] == "high_line_repetition"
+    assert dec.loc["rep1", "reason"] == "high_line_repetition"
+    assert dec.loc["rep0", "decision"] == "drop"
+    ctrl = dec[dec.index.str.startswith("c")]
+    assert (ctrl["reason"] != "high_line_repetition").all()

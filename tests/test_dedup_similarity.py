@@ -385,6 +385,20 @@ def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     bad = [d for d in sorted(expect) if got[d] != expect[d]]
     assert not bad, (bad[:3], [(got[d], expect[d]) for d in bad[:2]])
 
+    # with_stats=True must (a) leave the cleaning output untouched and
+    # (b) emit fracs identical to the standalone line_stats operator —
+    # the ride-along equivalence prepare_corpus's repetition rule rests on
+    from stop_sync_osm_atlas_spark.operators.lines import line_stats
+
+    ws = {r["doc_id"]: r.asDict()
+          for r in clean_lines(sdf, max_line_df=max_df, with_stats=True).collect()}
+    ls = {r["doc_id"]: r.asDict() for r in line_stats(sdf).collect()}
+    for did in expect:
+        assert (ws[did]["text_clean"], ws[did]["n_lines_in"],
+                ws[did]["n_lines_kept"]) == expect[did]
+        assert ws[did]["dup_line_frac"] == ls[did]["dup_line_frac"], did
+        assert ws[did]["dup_line_char_frac"] == ls[did]["dup_line_char_frac"], did
+
 
 def test_line_stats_gopher_repetition(spark):
     """Planted repetition: 4 non-empty lines of which 'nav | home'

@@ -235,6 +235,9 @@ def test_decisions_sink_partition_pruning(spark, tmp_path):
     n_pruned = scan_num_files(rd)
     n_all = scan_num_files(read_table(spark, path).select("image_id"))
     assert 0 < n_pruned < n_all, (n_pruned, n_all)
+
+
+def test_hash_sample_is_codegen_filter(spark):
     """The deterministic sample must stay a pure codegen filter — no
     shuffle, no Python."""
     from stop_sync_osm_atlas_spark.operators.sampling import hash_sample

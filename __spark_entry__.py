@@ -751,11 +751,15 @@ def q44_banded_cosine_pairs(spark, sf):
 def q45_hash_sample(spark, sf):
     """Deterministic sampling, BOTH modes graded (O5; reference
     backend/services/search.py:192-206 random.sample made replayable):
-    mode='uniform' = flat md5-bucket rate; mode='mixture' (r4) = domain
-    mixture sampling (operators/sampling.mixture_sample) — per-lang
-    rates hit a 40/20/20/20 en/de/fr/zh token mixture under a 6k-token
-    budget ('es' is deliberately unlisted -> sampled at rate 0), with
-    the rate thresholds re-derived exactly by the oracle."""
+    mode='uniform' = flat md5-bucket rate; mode='mixture' = domain
+    mixture sampling (operators/sampling.mixture_sample) with r5's
+    EPOCH UPWEIGHTING — per-lang rates hit a 25/20/20/35 en/de/fr/zh
+    token mixture under a 40k-token budget with max_epochs=3, so at the
+    graded sf0.01 the under-budget domains replicate (zh caps at 3
+    epochs, de/fr land ~2 full epochs + an md5-bucket fraction, en
+    stays sub-1) while 'es' is deliberately unlisted -> rate 0. The
+    oracle re-derives floor(rate) and the fractional bucket threshold
+    bit-exactly and replays the replication via range-unnest."""
     from stop_sync_osm_atlas_spark.operators.sampling import (
         hash_sample,
         mixture_sample,
@@ -766,15 +770,17 @@ def q45_hash_sample(spark, sf):
         hash_sample(d, rate_buckets=100, n_buckets=1000)
         .select("doc_id", "lang")
         .withColumn("mode", F.lit("uniform"))
+        .withColumn("epoch", F.lit(0).cast("long"))
     )
     mix = (
         mixture_sample(
             d,
-            weights={"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.2},
-            budget_tokens=6_000,
+            weights={"en": 0.25, "de": 0.2, "fr": 0.2, "zh": 0.35},
+            budget_tokens=40_000,
             token_col=TX.token_count_bpe_ish(F.col("text")),
+            max_epochs=3,
         )
-        .select("doc_id", "lang")
+        .select("doc_id", "lang", "epoch")
         .withColumn("mode", F.lit("mixture"))
     )
     return uni.unionByName(mix)
@@ -2138,17 +2144,23 @@ WITH toks AS (
   SELECT lang, CAST(sum(tok) AS BIGINT) AS tokens FROM toks GROUP BY lang
 ), rates AS (
   SELECT t.lang,
-    CAST(floor(least(1.0, 6000.0 * w.w / t.tokens) * 1000000) AS BIGINT) AS thr
+    CAST(floor(least(3.0, 40000.0 * w.w / t.tokens)) AS BIGINT) AS n_full,
+    CAST(floor((least(3.0, 40000.0 * w.w / t.tokens)
+      - floor(least(3.0, 40000.0 * w.w / t.tokens))) * 1000000) AS BIGINT) AS thr
   FROM tot t
-  JOIN (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('zh', 0.2)) AS w(lang, w)
+  JOIN (VALUES ('en', 0.25), ('de', 0.2), ('fr', 0.2), ('zh', 0.35)) AS w(lang, w)
     ON w.lang = t.lang
+), mix AS (
+  SELECT d.doc_id, d.lang,
+    r.n_full + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000 < r.thr THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN rates r ON r.lang = d.lang
 )
-SELECT doc_id, lang, 'uniform' AS mode FROM documents
+SELECT doc_id, lang, 'uniform' AS mode, CAST(0 AS BIGINT) AS epoch FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100
 UNION ALL
-SELECT d.doc_id, d.lang, 'mixture' AS mode
-FROM documents d JOIN rates r ON r.lang = d.lang
-WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.thr
+SELECT doc_id, lang, 'mixture' AS mode, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+FROM mix
 """,
         "q40_embedding_neardup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -52,13 +52,23 @@ def mixture_rates(
     token_col: Column,
     key_col: str = "lang",
     n_buckets: int = 1_000_000,
+    max_epochs: float = 1.0,
 ) -> DataFrame:
-    """-> (key_col, _tokens, _thr): per-domain sampling thresholds.
+    """-> (key_col, _tokens, _n_full, _thr): per-domain sampling rates.
 
-    rate_k = min(1, budget_tokens * w_k / tokens_k), integerized to a
-    bucket threshold _thr = floor(rate_k * n_buckets). The arithmetic is
-    plain left-associative double ops so a SQL oracle reproduces _thr
-    bit-exactly. Keys absent from ``weights`` get no row (rate 0).
+    rate_k = min(max_epochs, budget_tokens * w_k / tokens_k), split into
+    ``_n_full`` = floor(rate_k) guaranteed copies per doc and a
+    fractional bucket threshold ``_thr`` = floor(frac(rate_k) *
+    n_buckets) granting one extra copy to docs whose stable md5 bucket
+    falls below it. With the default ``max_epochs=1`` this reduces to
+    the classic downsampling clamp (rate <= 1, membership = bucket <
+    _thr); ``max_epochs > 1`` lets an under-represented domain
+    OVERSAMPLE by deterministic replication (epochs), which is how real
+    mixture builders hit a target share a rare domain can't supply —
+    capped so no domain repeats more than max_epochs times. The
+    arithmetic is plain left-associative double ops so a SQL oracle
+    reproduces both integers bit-exactly. Keys absent from ``weights``
+    get no row (rate 0).
     """
     kvs: list[Column] = []
     for k, w in weights.items():
@@ -67,14 +77,20 @@ def mixture_rates(
     totals = df.groupBy(key_col).agg(F.sum(token_col).alias("_tokens"))
     # drop unlisted keys BEFORE the clamp: Spark's least() IGNORES nulls
     # (least(1.0, null) = 1.0), so a null weight reaching the clamp
-    # would silently sample an unlisted domain at rate 1 instead of 0.
+    # would silently sample an unlisted domain at the cap instead of 0.
     totals = totals.withColumn("_w", w_expr).where(F.col("_w").isNotNull())
     rate = F.least(
-        F.lit(1.0), F.lit(float(budget_tokens)) * F.col("_w") / F.col("_tokens")
+        F.lit(float(max_epochs)),
+        F.lit(float(budget_tokens)) * F.col("_w") / F.col("_tokens"),
     )
-    return totals.withColumn(
-        "_thr", F.floor(rate * F.lit(n_buckets)).cast("long")
-    ).select(key_col, "_tokens", "_thr")
+    return (
+        totals.withColumn("_n_full", F.floor(rate).cast("long"))
+        .withColumn(
+            "_thr",
+            F.floor((rate - F.floor(rate)) * F.lit(n_buckets)).cast("long"),
+        )
+        .select(key_col, "_tokens", "_n_full", "_thr")
+    )
 
 
 def mixture_sample(
@@ -85,24 +101,49 @@ def mixture_sample(
     key_col: str = "lang",
     id_col: str = "doc_id",
     n_buckets: int = 1_000_000,
+    max_epochs: float = 1.0,
 ) -> DataFrame:
-    """Domain-mixture sampling (the Pile/Dolma-style mixing step): keep
+    """Domain-mixture sampling (the Pile/Dolma-style mixing step): emit
     each domain's docs at the deterministic rate that hits a target
-    token mixture — rate_k = min(1, budget_tokens * w_k / tokens_k) —
-    using the same replayable md5-bucket membership as ``hash_sample``.
+    token mixture — rate_k = min(max_epochs, budget_tokens * w_k /
+    tokens_k) — using the same replayable md5-bucket membership as
+    ``hash_sample``. Output rows carry an ``epoch`` column (0-based
+    copy index): rate <= 1 keeps/drops docs with epoch 0 (the classic
+    clamp), rate > 1 (``max_epochs`` permitting) REPLICATES each doc
+    floor(rate) times plus one more for the md5-bucket fraction — the
+    standard oversample-by-epochs treatment of rare domains, previously
+    impossible here because rates silently clamped at 1.
 
     Scale shape: ONE aggregate over (key, tokens) — a per-domain frame
     of a handful of rows — broadcast back onto the corpus, then a pure
-    codegen'd filter. No shuffle of the data rows, no randomness, and
-    membership depends only on (id, key), so re-runs, retries and other
-    engines pick the identical sample. Domains not in ``weights`` are
-    dropped (their target share is zero).
+    codegen'd filter + sequence-explode (no Python, no shuffle of the
+    data rows, no randomness). Copy counts depend only on (id, key), so
+    re-runs, retries and other engines emit the identical multiset.
+    Domains not in ``weights`` are dropped (their target share is zero).
     """
     rates = mixture_rates(
-        df, weights, budget_tokens, token_col, key_col=key_col, n_buckets=n_buckets
+        df,
+        weights,
+        budget_tokens,
+        token_col,
+        key_col=key_col,
+        n_buckets=n_buckets,
+        max_epochs=max_epochs,
     )
+    copies = F.col("_n_full") + F.when(
+        sample_bucket(F.col(id_col), n_buckets) < F.col("_thr"), F.lit(1)
+    ).otherwise(F.lit(0))
+    # filter BEFORE the sequence: sequence(0, -1) would not be empty
+    # (Spark infers a negative step), so zero-copy rows must never
+    # reach the generator
     return (
         df.join(F.broadcast(rates), key_col)
-        .where(sample_bucket(F.col(id_col), n_buckets) < F.col("_thr"))
-        .drop("_tokens", "_thr")
+        .withColumn("_copies", copies)
+        .where(F.col("_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), (F.col("_copies") - 1).cast("int"))),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop("_tokens", "_n_full", "_thr", "_copies")
     )

@@ -1,4 +1,4 @@
-"""Deterministic sampling operators (O5 + the r4 mixture sampler)."""
+"""Deterministic sampling operators (O5 + mixture sampling w/ epochs)."""
 
 from __future__ import annotations
 
@@ -30,16 +30,18 @@ def test_mixture_rates_math_and_unlisted_domains(spark):
     weights = {"en": 0.5, "de": 0.3, "fr": 0.2}
     budget = 40_000.0
     rates = {
-        r["lang"]: (r["_tokens"], r["_thr"])
+        r["lang"]: (r["_tokens"], r["_n_full"], r["_thr"])
         for r in mixture_rates(sdf, weights, budget, F.col("n_tok")).collect()
     }
-    # unlisted domain ('es') must get NO row — never rate 1 (the Spark
-    # least()-ignores-nulls trap)
+    # unlisted domain ('es') must get NO row — never the cap rate (the
+    # Spark least()-ignores-nulls trap)
     assert "es" not in rates
     for lang, w in weights.items():
         tokens = int(pdf[pdf.lang == lang].n_tok.sum())
-        expect = int(np.floor(min(1.0, budget * w / tokens) * 1_000_000))
-        assert rates[lang] == (tokens, expect), lang
+        rate = min(1.0, budget * w / tokens)
+        n_full = int(np.floor(rate))
+        thr = int(np.floor((rate - np.floor(rate)) * 1_000_000))
+        assert rates[lang] == (tokens, n_full, thr), lang
 
 
 def test_mixture_sample_hits_target_token_mass(spark):
@@ -48,6 +50,7 @@ def test_mixture_sample_hits_target_token_mass(spark):
     budget = 40_000.0
     out = mixture_sample(sdf, weights, budget, F.col("n_tok")).toPandas()
     assert set(out.lang) <= set(weights)
+    assert (out.epoch == 0).all()  # max_epochs=1 -> single copies only
     # sampled token mass per domain ~ budget * w (hash sampling is
     # uniform over ids; 20% tolerance at these counts)
     for lang, w in weights.items():
@@ -60,12 +63,63 @@ def test_mixture_sample_hits_target_token_mass(spark):
 
 def test_mixture_sample_clamps_small_domains(spark):
     sdf, pdf = _corpus(spark)
-    # huge budget -> every rate clamps to 1.0 -> all listed docs kept
+    # huge budget at max_epochs=1 -> every rate clamps to 1.0 -> all
+    # listed docs kept exactly once (no replication without opt-in)
     out = mixture_sample(
         sdf, {"en": 0.9, "de": 0.1}, 10_000_000.0, F.col("n_tok")
     ).toPandas()
     expect = pdf[pdf.lang.isin(["en", "de"])]
     assert sorted(out.doc_id) == sorted(expect.doc_id)
+    assert (out.epoch == 0).all()
+
+
+def test_mixture_sample_epochs_upweight(spark):
+    """rate > 1 with max_epochs: every doc of an under-budget domain
+    replicates floor(rate) times, the md5-bucket fraction grants copy
+    floor(rate)+1, the cap binds, and token mass tracks budget * w."""
+    sdf, pdf = _corpus(spark)
+    weights = {"en": 0.2, "de": 0.5, "fr": 0.3}
+    # de tokens ~= 62k -> rate 400k*0.5/62k ~= 3.2 -> caps at 3;
+    # fr ~= 63k -> rate ~1.9 (1 full + fraction); en ~312k -> rate ~0.26
+    budget = 400_000.0
+    out = mixture_sample(
+        sdf, weights, budget, F.col("n_tok"), max_epochs=3
+    ).toPandas()
+
+    per_doc = out.groupby(["lang", "doc_id"]).agg(
+        n=("epoch", "size"), mx=("epoch", "max")
+    )
+    # epochs are dense 0..n-1 per doc
+    assert (per_doc["mx"] == per_doc["n"] - 1).all()
+
+    for lang, w in weights.items():
+        tokens = int(pdf[pdf.lang == lang].n_tok.sum())
+        rate = min(3.0, budget * w / tokens)
+        n_full = int(np.floor(rate))
+        sub = per_doc.loc[lang]
+        n_docs = int((pdf.lang == lang).sum())
+        if n_full >= 1:
+            # every domain doc present with n_full or n_full+1 copies
+            assert len(sub) == n_docs
+            assert set(sub["n"]) <= {n_full, n_full + 1}
+        else:
+            assert (sub["n"] == 1).all()
+        # replicated token mass ~ budget * w (exact when the cap binds)
+        got = (out[out.lang == lang].n_tok).sum()
+        if rate == 3.0:
+            assert got == 3 * tokens
+        else:
+            assert abs(got - budget * w) / (budget * w) < 0.2, (lang, got)
+
+    # determinism incl. copy counts
+    out2 = mixture_sample(
+        sdf, weights, budget, F.col("n_tok"), max_epochs=3
+    ).toPandas()
+    key = ["doc_id", "epoch"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True)[["doc_id", "lang", "epoch"]],
+        out2.sort_values(key).reset_index(drop=True)[["doc_id", "lang", "epoch"]],
+    )
 
 
 def test_hash_sample_consistent_across_tables(spark):

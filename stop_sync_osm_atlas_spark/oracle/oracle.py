@@ -168,16 +168,22 @@ def neardup_oracle(
 
 def _decode_ok(r) -> bool:
     """Mirror of functions/image.decode_stats per-row verdict."""
-    import struct as _struct
-
-    from ..functions.image import MAGIC, decode_image, psnr, synth_pixels
+    from ..functions.image import (
+        decode_image,
+        ground_truth_seed,
+        psnr,
+        synth_pixels,
+    )
 
     px, w, h, fmt, e = decode_image(r.bytes)
     if e is not None:
         return False
     if w != r.w or h != r.h:
         return False
-    seed = _struct.unpack("<Q", r.bytes[len(MAGIC) + 9 : len(MAGIC) + 17])[0]
+    seed = ground_truth_seed(r.bytes)
+    if seed is None:
+        # real PNG without the tEXt seed channel: lossless by format
+        return fmt == "png"
     p = psnr(px, synth_pixels(seed, w, h))
     if fmt == "jpeg":
         return p >= 40.0

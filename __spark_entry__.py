@@ -148,7 +148,10 @@ def q02_corpus_prep(spark, sf):
     while _Q02_LIVE:
         _Q02_LIVE.pop().unpersist()
     d = _t(spark, sf, "documents")
-    decisions, bins = prepare_corpus(d)
+    # exact_fp_prefix=None = the exact full-text fingerprint (the oracle
+    # mirrors md5(text_clean) unbounded); the bounded-prefix trade is
+    # graded separately by q21's mode='prefix48' arm
+    decisions, bins = prepare_corpus(d, exact_fp_prefix=None)
     _Q02_LIVE.append(decisions)
     nl = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
@@ -558,9 +561,21 @@ def q20_doc_stats(spark, sf):
 
 
 def q21_exact_dedup(spark, sf):
-    """Exact dedup via md5 fingerprint (operators/dedup.exact_dedup)."""
+    """Exact dedup via md5 fingerprint (operators/dedup.exact_dedup),
+    BOTH prefix modes graded in one union: mode='bounded' = the 10k-char
+    default (hash cost independent of document length), mode='prefix48'
+    = an aggressively short prefix whose documented collision trade is
+    OBSERVABLE at the graded fixture (docs sharing their first 48
+    normalized chars but diverging later group together — ~24 such
+    collisions at sf0.01, zero under the bounded mode)."""
     d = _t(spark, sf, "documents")
-    return DD.exact_dedup(d, text_col="text", id_col="doc_id")
+    bounded = DD.exact_dedup(d, text_col="text", id_col="doc_id").withColumn(
+        "mode", F.lit("bounded")
+    )
+    short = DD.exact_dedup(
+        d, text_col="text", id_col="doc_id", prefix_len=48
+    ).withColumn("mode", F.lit("prefix48"))
+    return bounded.unionByName(short)
 
 
 def q22_langid_confusion(spark, sf):
@@ -1972,15 +1987,26 @@ SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_event
 """,
         "q20_doc_stats": _oracle_q20(),
         "q21_exact_dedup": """
-WITH fp AS (
+WITH fp10k AS (
   SELECT doc_id,
     md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 10000)) AS fp
+  FROM documents
+), fp48 AS (
+  SELECT doc_id,
+    md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 48)) AS fp
   FROM documents
 )
 SELECT doc_id, fp,
   count(*) OVER (PARTITION BY fp) AS dup_count,
-  (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_canonical
-FROM fp
+  (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_canonical,
+  'bounded' AS mode
+FROM fp10k
+UNION ALL
+SELECT doc_id, fp,
+  count(*) OVER (PARTITION BY fp) AS dup_count,
+  (doc_id = min(doc_id) OVER (PARTITION BY fp)) AS is_canonical,
+  'prefix48' AS mode
+FROM fp48
 """,
         "q22_langid_confusion": _oracle_q22(),
         "q23_quality_cascade": _oracle_q23(),

@@ -107,12 +107,16 @@ def token_count_bpe_ish(c: Column) -> Column:
     return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(BPE_ISH_TOKEN))
 
 
-def fingerprint(c: Column, prefix_len: int = 64) -> Column:
-    """Document fingerprint: md5 of the first ``prefix_len`` normalized chars.
+def fingerprint(c: Column, prefix_len: int | None = 64) -> Column:
+    """Document fingerprint: md5 of the first ``prefix_len`` normalized
+    chars (``None`` = the FULL normalized text — exact, at the cost of
+    hashing unboundedly long documents).
 
     Cross-engine stable (MD5 is MD5 everywhere) — used for exact-dup
     grouping; the analog of the reference's duplicate key
     ``(number, designation)`` (reference matching_script.py:221-242).
     """
-    norm = F.substring(F.regexp_replace(norm_text(F.coalesce(c, F.lit(""))), WS_SPLIT, " "), 1, prefix_len)
+    norm = F.regexp_replace(norm_text(F.coalesce(c, F.lit(""))), WS_SPLIT, " ")
+    if prefix_len is not None:
+        norm = F.substring(norm, 1, prefix_len)
     return F.md5(norm)

@@ -78,10 +78,25 @@ def shingle_rows(
     )
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup via md5 fingerprint; canonical = min id per group (A3)."""
+def exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int | None = 10_000,
+) -> DataFrame:
+    """Exact dedup via md5 fingerprint; canonical = min id per group (A3).
+
+    ``prefix_len``: the fingerprint hashes only the first prefix_len
+    normalized chars (the standard bound that keeps the hash input —
+    and the md5 cost — independent of pathological document length).
+    The documented trade: two docs identical in their first prefix_len
+    chars but diverging later collide. Pass ``None`` to hash the FULL
+    normalized text (exact, what plans/corpus.prepare_corpus uses via
+    its own md5-of-clean-text stage) when document length is bounded
+    upstream. Deterministic either way and mirrored by the SQL oracle.
+    """
     fp = docs.select(
-        F.col(id_col), fingerprint(F.col(text_col), prefix_len=10_000).alias("fp")
+        F.col(id_col), fingerprint(F.col(text_col), prefix_len=prefix_len).alias("fp")
     )
     win = W.partitionBy("fp")
     return fp.select(

@@ -269,6 +269,8 @@ def neardup_phash_map(
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     bridge: str = "multiprobe",
     band_bits: int | None = None,
+    band_salt_rows: int = None,  # type: ignore[assignment]
+    band_max_salt: int = None,  # type: ignore[assignment]
 ) -> tuple[DataFrame, int]:
     """pairs -> (phash -> cluster map, map row count).
 
@@ -278,6 +280,13 @@ def neardup_phash_map(
     localCheckpoint-ed (materialized, lineage cut) and all caches built
     along the way are released before returning — repeated calls in a
     long-lived session leak no executor storage.
+
+    ``band_salt_rows`` / ``band_max_salt`` (bands bridge only): the
+    skew-guard dial for the upper-band self-join — a (band, key) group
+    is striped across ceil(n / band_salt_rows) salt slices, capped at
+    band_max_salt. See ``_band_bucket_pairs`` for the residual-skew
+    contract when a key exceeds band_salt_rows * band_max_salt nodes.
+    Defaults: module constants BAND_SALT_ROWS / BAND_MAX_SALT.
     """
     mask = (1 << bits) - 1
     sub_mask = (1 << sub_bits) - 1
@@ -300,7 +309,14 @@ def neardup_phash_map(
     # pair. Lazy; the bounded collect below is eager job 1 and populates
     # pc's cache as a side effect.
     if bridge == "bands":
-        bpairs = _band_bucket_pairs(pc, bits, radius, band_bits=band_bits)
+        bpairs = _band_bucket_pairs(
+            pc,
+            bits,
+            radius,
+            band_bits=band_bits,
+            salt_rows=band_salt_rows if band_salt_rows is not None else BAND_SALT_ROWS,
+            max_salt=band_max_salt if band_max_salt is not None else BAND_MAX_SALT,
+        )
     else:
         probes = (
             pc.select(
@@ -481,6 +497,8 @@ def neardup_clusters(
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     bridge: str = "multiprobe",
     band_bits: int | None = None,
+    band_salt_rows: int = None,  # type: ignore[assignment]
+    band_max_salt: int = None,  # type: ignore[assignment]
 ) -> DataFrame:
     """pairs -> (image_id, cluster_id, cluster_size, is_cluster_rep).
 
@@ -488,7 +506,8 @@ def neardup_clusters(
     any shuffle. The full-table work is one left join against the
     materialized dup-cluster map (usually broadcast — see
     neardup_phash_map); rows with NULL phash are dropped, matching the
-    row-level contract.
+    row-level contract. ``band_salt_rows``/``band_max_salt`` tune the
+    bands-bridge skew guard (threaded to ``_band_bucket_pairs``).
     """
     ph_map, n_map = neardup_phash_map(
         pairs,
@@ -498,6 +517,8 @@ def neardup_clusters(
         hot_threshold=hot_threshold,
         bridge=bridge,
         band_bits=band_bits,
+        band_salt_rows=band_salt_rows,
+        band_max_salt=band_max_salt,
     )
     slim0 = pairs.select("image_id", "phash").where(F.col("phash").isNotNull())
     return attach_clusters(slim0, ph_map, n_map).select(
@@ -544,6 +565,17 @@ def _band_bucket_pairs(
     the other replicated s ways — so every pair is still discovered
     exactly once per band while no task sees more than ~salt_rows
     build-side rows for a key.
+
+    RESIDUAL-SKEW CONTRACT: when one key holds MORE than salt_rows *
+    max_salt nodes, the cap binds and each of the max_salt slices sees
+    ~n/max_salt build rows — per-slice work grows again (quadratic in n
+    overall, spread over max_salt tasks), though correctness is
+    unaffected: every pair still surfaces exactly once. Callers
+    expecting such keys should raise the knobs (threaded through
+    ``neardup_clusters``/``neardup_phash_map`` as band_salt_rows /
+    band_max_salt), narrow band_bits, or fall back to
+    bridge='multiprobe'. Covered by
+    tests/test_neardup.py::test_bands_salt_cap_residual_behavior.
     """
     band_bits = bits if band_bits is None else band_bits
     span = 64 - bits

@@ -51,6 +51,7 @@ def prepare_corpus(
     pack_shards: int = 1,
     max_dup_line_frac: float = 0.30,
     max_dup_line_char_frac: float = 0.20,
+    exact_fp_prefix: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (decisions, bins).
 
@@ -73,6 +74,16 @@ def prepare_corpus(
     before the cleaned-text quality rules: a fully-repetitive doc would
     otherwise collapse under cleaning and misreport as too_short.
 
+    ``exact_fp_prefix``: chars of cleaned text the exact-dedup
+    fingerprint hashes. Default ``None`` = the FULL cleaned text
+    (exact — safe here because cleaning bounds pathological docs and
+    the hash rides an existing shuffle). A bounded value (e.g. the
+    10_000 that ``operators.dedup.exact_dedup`` defaults to) trades
+    md5 cost for the documented collision risk: docs identical in
+    their first prefix chars but diverging later collapse as
+    exact_dup. Same knob, same trade, both entry points — pick per
+    corpus length profile.
+
     Expects (doc_id, text, lang) columns; extra columns pass through to
     the cleaning stage and are dropped afterwards.
 
@@ -84,7 +95,12 @@ def prepare_corpus(
     base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
 
     # exact dedup on the CLEANED text (q21 shape): keep min doc_id.
-    fp_w = W.partitionBy(F.md5(F.col("text_clean"))).orderBy("doc_id")
+    fp_input = (
+        F.col("text_clean")
+        if exact_fp_prefix is None
+        else F.substring(F.col("text_clean"), 1, exact_fp_prefix)
+    )
+    fp_w = W.partitionBy(F.md5(fp_input)).orderBy("doc_id")
     # base feeds FOUR consumers (dedup filter, LSH, model training, the
     # scored projection); Spark reuses exchanges but NOT Python stages,
     # so without a persist the cleaning pass would recompute per branch

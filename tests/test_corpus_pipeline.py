@@ -79,6 +79,58 @@ def test_prepare_corpus_conservation(spark, corpus_df):
     pd.testing.assert_frame_equal(a, c)
 
 
+def test_exact_fp_prefix_trade(spark):
+    """The unified prefix knob at the prepare_corpus entry point: two
+    docs sharing their first 64 cleaned chars but diverging later are
+    DISTINCT under the default exact fingerprint and collapse as
+    exact_dup when exact_fp_prefix binds — the same documented trade as
+    operators.dedup.exact_dedup(prefix_len=...)."""
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        ("p0", f"{shared} and then it rested for a while", "en"),
+        ("p1", f"{shared} but later it ran far away instead", "en"),
+    ]
+    # filler so models/LSH have a corpus to work with
+    for i in range(12):
+        rows.append((f"f{i:02d}", f"completely unrelated text number {i} here", "en"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+    exact, _ = prepare_corpus(df)
+    de = exact.toPandas().set_index("doc_id")
+    exact.unpersist()
+    assert de.loc["p0", "reason"] != "exact_dup"
+    assert de.loc["p1", "reason"] != "exact_dup"
+
+    bounded, _ = prepare_corpus(df, exact_fp_prefix=len(shared))
+    db = bounded.toPandas().set_index("doc_id")
+    bounded.unpersist()
+    # min doc_id survives; the later-diverging twin collides away
+    assert db.loc["p1", "reason"] == "exact_dup"
+    assert db.loc["p0", "reason"] != "exact_dup"
+
+
+def test_exact_dedup_full_text_mode(spark):
+    """prefix_len=None hashes the FULL normalized text: prefix-sharing
+    docs that collide at prefix_len=48 stay distinct."""
+    from stop_sync_osm_atlas_spark.operators.dedup import exact_dedup
+
+    shared = "a" * 60
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [shared + " tail one", shared + " tail two"],
+            }
+        )
+    )
+    full = exact_dedup(df, prefix_len=None).toPandas()
+    assert (full["dup_count"] == 1).all()
+    short = exact_dedup(df, prefix_len=48).toPandas()
+    assert (short["dup_count"] == 2).all()
+
+
 def test_high_line_repetition_rule(spark):
     """The Gopher/MassiveText repetition gate at DEFAULT thresholds
     (0.30 dup lines / 0.20 dup chars, over the RAW pre-cleaning text):

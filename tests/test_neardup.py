@@ -257,6 +257,69 @@ def test_bands_skewed_key_salting_is_exact(spark):
     assert salted == plain and plain  # same pairs, and some were found
 
 
+def test_bands_salt_cap_residual_behavior(spark):
+    """A key above salt_rows * max_salt nodes: the cap binds (slices
+    grow past salt_rows — the documented residual-skew contract) but
+    pair discovery stays EXACT, and the knobs thread end-to-end through
+    neardup_clusters/neardup_phash_map as band_salt_rows/band_max_salt."""
+    from pyspark.sql import functions as F
+
+    from stop_sync_osm_atlas_spark.operators.neardup import (
+        _band_bucket_pairs,
+        neardup_clusters,
+    )
+
+    base = 0x7777AAAA0000
+    # 24 nodes share ALL upper bands (one band-key group of 24 >
+    # salt_rows*max_salt = 2*3): window-bit chain means every pair is
+    # within radius
+    rows = [(base ^ (1 << (i % 3)), f"i{i:02d}") for i in range(24)]
+    pc = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["phash", "rep"])
+    ).select(
+        "phash",
+        F.lit(1).cast("long").alias("cnt"),
+        "rep",
+        F.col("phash").bitwiseAND(F.lit((1 << 16) - 1)).cast("int").alias(
+            "bucket"
+        ),
+    )
+    plain = {
+        (r["a"], r["b"])
+        for r in _band_bucket_pairs(pc, 16, 3, salt_rows=10**9).collect()
+    }
+    capped = {
+        (r["a"], r["b"])
+        for r in _band_bucket_pairs(
+            pc, 16, 3, salt_rows=2, max_salt=3
+        ).collect()
+    }
+    assert capped == plain and plain
+
+    # end-to-end knob threading: tuned knobs produce the same clusters
+    # as the defaults on the same input
+    prs = [(f"i{k:02d}", int(h)) for k, (h, _) in enumerate(rows)]
+    pdf = pd.DataFrame(
+        [dict(image_id=i, bytes=None, w=8, h=8, fmt="png", caption="x",
+              phash=h) for i, h in prs]
+    )
+    from stop_sync_osm_atlas_spark.schemas import PAIRS_SCHEMA
+
+    pairs = spark.createDataFrame(pdf, PAIRS_SCHEMA)
+    default_out = (
+        neardup_clusters(pairs, bridge="bands")
+        .toPandas().set_index("image_id").sort_index()
+    )
+    tuned_out = (
+        neardup_clusters(
+            pairs, bridge="bands", band_salt_rows=2, band_max_salt=3
+        )
+        .toPandas().set_index("image_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(default_out, tuned_out)
+    assert (default_out["cluster_size"] == 24).all()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("bridge", ["multiprobe", "bands"])
 def test_random_corpus_matches_oracle(spark, seed, bridge):

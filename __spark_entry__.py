@@ -404,18 +404,58 @@ def q18_normalized_join(spark, sf):
 
 
 def q19_sessionize(spark, sf):
-    """Window-shaped sessionization: lag + gap cumsum (guide pattern;
-    the reference's only temporal logic is audit stamps — this covers
-    the streaming-analog batch path)."""
+    """Sessionization graded on BOTH engines in one union (r5):
+    mode='batch' = window-shaped lag + gap cumsum; mode='stream' = the
+    custom stateful streaming operator
+    (streaming/stream.stream_sessionize, applyInPandasWithState with
+    per-user GroupState), replayed over the same events staged to
+    parquet and driven to completion — a single trigger consumes every
+    staged file, so per-user counts must equal the batch window's
+    exactly (the oracle re-derives one CTE and projects it under both
+    mode labels). Multi-batch updates, if any, resolve by max(): both
+    counters are monotone and updated together."""
     e = _t(spark, sf, "events")
     win = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(win)
     marked = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
-    return marked.groupBy("user_id").agg(
-        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    batch = (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("mode", F.lit("batch"))
     )
+
+    import hashlib
+    import shutil
+
+    from stop_sync_osm_atlas_spark.streaming.stream import stream_sessionize
+
+    tmp = (
+        f"/tmp/spark_graft_q19_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+        f"_p{os.getpid()}"
+    )
+    e.write.mode("overwrite").parquet(tmp)
+    name = "q19_session_sink"
+    q = (
+        stream_sessionize(spark, tmp)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    stream = spark.sql(
+        f"SELECT user_id, max(n_sessions) AS n_sessions, "
+        f"max(n_events) AS n_events, 'stream' AS mode FROM {name} "
+        f"GROUP BY user_id"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return batch.unionByName(stream)
 
 
 def q33_json_path(spark, sf):
@@ -1977,13 +2017,18 @@ WITH parts AS (
 SELECT p_partkey, parts.brand_norm, n_same FROM parts JOIN counts USING (brand_norm)
 """,
         "q19_sessionize": """
-SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
-  SELECT user_id,
-    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-         OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-         THEN 1 ELSE 0 END AS new_sess
-  FROM events
-) GROUP BY user_id
+WITH sess AS (
+  SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+    SELECT user_id,
+      CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+           OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  ) GROUP BY user_id
+)
+SELECT user_id, n_sessions, n_events, 'batch' AS mode FROM sess
+UNION ALL
+SELECT user_id, n_sessions, n_events, 'stream' AS mode FROM sess
 """,
         "q20_doc_stats": _oracle_q20(),
         "q21_exact_dedup": """

@@ -156,6 +156,110 @@ def _components(phashes: np.ndarray, radius: int) -> tuple[np.ndarray, bool]:
     return np.array([find(i) for i in range(n)]), True
 
 
+# Above this size the direct O(n^2) `_components` switches to the
+# banded finder: the r5 linearity probe measured ONE hot supergroup of
+# 227k reps costing 291 s (5.2e10 Hamming compares) in a single pass-2
+# Python task — 95% of the whole 6.4M-row neardup build.
+_BANDED_COMPONENTS_MIN = 2048
+
+
+def _components_banded(
+    phashes: np.ndarray, radius: int
+) -> tuple[np.ndarray, bool]:
+    """Exact within-radius connected components via pigeonhole banding.
+
+    Partitions the 64 bit POSITIONS into n_bands > radius bands: two
+    hashes within ``radius`` differ in <= radius bands, so they AGREE
+    on >= 1 band exactly — comparing only pairs that share a band value
+    per band finds every within-radius edge (the `_band_bucket_pairs`
+    completeness argument, applied in-task; ANY partition of the bit
+    positions qualifies). Bands are bit-INTERLEAVED (band j = bits
+    {j, j+n_bands, j+2*n_bands, ...}) rather than contiguous: pass-2
+    rep sets concentrate in a handful of bucket values, so contiguous
+    low bands would collapse into a few giant blocks (measured: two
+    degenerate bands cost ~1e10 compares on a 227k-rep supergroup);
+    interleaving mixes the diverse upper bits into every band, keeping
+    block sizes near n / 2^band_width for real hash data.
+
+    Work drops from n^2 to sum over (band, value) blocks of m^2,
+    vectorized with one offset-compare loop over the block-sorted
+    array (the `_cluster_partition` tiny-group trick, uncapped): d-th
+    iteration compares row i with row i+d under a same-block mask, so
+    the Python-level loop runs max_block_size times total, not once per
+    block. Residual: an adversarial band value holding ~all hashes
+    re-approaches n^2 for that band — still strictly <= the direct
+    cost, never worse.
+
+    Candidate sharpening: agreeing on >= 1 band is the loosest complete
+    blocking — a pair within ``radius`` over n_bands bands actually
+    agrees on >= n_bands - radius of them, so blocking on COMPOSITE
+    keys of c = n_bands - radius bands (every C(n_bands, c)
+    combination) is also complete and cuts candidates by ~2^(extra key
+    bits): radius 6 over 8 bands -> 28 16-bit composite keys vs 8
+    8-bit single bands = ~70x fewer pairs (measured 112 s -> ~2 s on a
+    200k bucket-concentrated rep set). c is lowered if the combination
+    count would exceed 64 (agreeing on >= c bands implies some smaller
+    subset agrees, so any c' <= c stays complete).
+
+    Returns the same (roots, merged) contract as `_components`; only
+    the partition matters to callers (labels feed groupby/union-find),
+    and the edge set is identical, so the two are interchangeable —
+    asserted by randomized equivalence tests (incl. the
+    bucket-concentrated shape).
+    """
+    from itertools import combinations
+    from math import comb
+
+    n = len(phashes)
+    n_bands = next(b for b in (4, 8, 16, 32, 64) if b > radius)
+    band_width = 64 // n_bands
+    c = n_bands - radius
+    while c > 1 and comb(n_bands, c) > 64:
+        c -= 1
+    x = phashes.astype(np.uint64)
+    parent = np.arange(n)
+    merged = False
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    one = np.uint64(1)
+    band_keys = []
+    for k in range(n_bands):
+        # gather the strided bit set {k, k+n_bands, ...} into a compact key
+        keys = np.zeros(n, dtype=np.uint64)
+        for i in range(band_width):
+            keys |= ((x >> np.uint64(k + i * n_bands)) & one) << np.uint64(i)
+        band_keys.append(keys)
+    for combo in combinations(range(n_bands), c):
+        keys = np.zeros(n, dtype=np.uint64)
+        for pos, k in enumerate(combo):
+            keys |= band_keys[k] << np.uint64(pos * band_width)
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        xs = x[order]
+        # block id per sorted row; offset-compare within equal-key runs
+        bid = np.cumsum(np.r_[0, (sk[1:] != sk[:-1]).astype(np.int64)])
+        counts = np.bincount(bid)
+        max_m = int(counts.max()) if len(counts) else 0
+        for d in range(1, max_m):
+            same = bid[:-d] == bid[d:]
+            if not same.any():
+                break
+            hit = same & (_popcount64(np.bitwise_xor(xs[:-d], xs[d:])) <= radius)
+            for i in np.nonzero(hit)[0]:
+                ri, rj = find(int(order[i])), find(int(order[i + d]))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+                    merged = True
+    if not merged:
+        return parent, False
+    return np.array([find(i) for i in range(n)]), True
+
+
 # Groups at or below this size are compared by the vectorized offset
 # pass (all pairs inside a group of size s are covered by row offsets
 # 1..s-1, so TINY-1 full-array shifted compares handle every tiny group
@@ -223,10 +327,14 @@ def _cluster_partition(radius: int):
                 if ri != rj:
                     parent[max(ri, rj)] = min(ri, rj)
                     merged_any = True
-        # large groups: per-group quadratic (bounded by the salting)
+        # large groups: per-group quadratic (bounded by the salting;
+        # the banded finder guards the unbounded-caller case)
         for g in np.nonzero(gsize > _TINY_GROUP)[0]:
             s, e = int(starts[g]), int(ends[g])
-            roots, any_merge = _components(ph[s:e], radius)
+            if gsize[g] > _BANDED_COMPONENTS_MIN:
+                roots, any_merge = _components_banded(ph[s:e], radius)
+            else:
+                roots, any_merge = _components(ph[s:e], radius)
             if not any_merge:
                 continue
             merged_any = True
@@ -734,7 +842,15 @@ def _cc_min_label(edges: DataFrame) -> DataFrame:
 
 
 def _merge_reps(pdf: pd.DataFrame, radius2: int) -> pd.DataFrame:
-    roots, _ = _components(pdf["phash"].to_numpy(), radius2)
+    ph = pdf["phash"].to_numpy()
+    # large rep sets (a hot supergroup of mostly-singleton components
+    # yields ~one rep per distinct hash) take the banded finder — the
+    # r5 fix for the 6.4M serial-task collapse; small sets keep the
+    # direct compare (less per-call overhead, same exact result)
+    if len(ph) > _BANDED_COMPONENTS_MIN:
+        roots, _ = _components_banded(ph, radius2)
+    else:
+        roots, _ = _components(ph, radius2)
     # global cluster = min local_cluster id (== min image_id of members,
     # since local ids are themselves min image_ids)
     glob = (

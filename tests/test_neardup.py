@@ -257,6 +257,56 @@ def test_bands_skewed_key_salting_is_exact(spark):
     assert salted == plain and plain  # same pairs, and some were found
 
 
+@pytest.mark.parametrize("radius", [1, 3, 6, 7])
+@pytest.mark.parametrize("seed", [0, 7])
+def test_components_banded_equals_direct(radius, seed):
+    """The banded component finder (the r5 pass-2 fix) must partition
+    IDENTICALLY to the direct O(n^2) compare on random hash sets dense
+    with planted within-radius pairs — including chains that only
+    connect transitively across different bands."""
+    import numpy as np
+
+    from stop_sync_osm_atlas_spark.operators.neardup import (
+        _components,
+        _components_banded,
+    )
+
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 1 << 63, size=150, dtype=np.uint64)
+    # half the base concentrated in TWO bucket values (low 16 bits) —
+    # the measured pass-2 shape that degenerates contiguous banding
+    conc = (rng.integers(0, 1 << 18, size=150, dtype=np.uint64) << np.uint64(16)) | rng.choice(
+        np.array([3, 7], dtype=np.uint64), size=150
+    )
+    base = np.concatenate([base, conc])
+    hashes = []
+    for h in base:
+        hashes.append(int(h))
+        # chain of neighbors each <= radius from the previous, at bit
+        # positions crossing band boundaries (0..63)
+        cur = int(h)
+        for _ in range(int(rng.integers(0, 4))):
+            flip = 0
+            for b in rng.integers(0, 64, size=int(rng.integers(1, radius + 1))):
+                flip |= 1 << int(b)
+            cur ^= flip
+            hashes.append(cur)
+    arr = np.array(hashes, dtype=np.uint64).astype(np.int64)
+
+    ra, _ = _components(arr, radius)
+    rb, _ = _components_banded(arr, radius)
+    # compare PARTITIONS, not labels
+    import collections
+
+    pa = collections.defaultdict(list)
+    pb = collections.defaultdict(list)
+    for i, r in enumerate(ra):
+        pa[int(r)].append(i)
+    for i, r in enumerate(rb):
+        pb[int(r)].append(i)
+    assert sorted(map(tuple, pa.values())) == sorted(map(tuple, pb.values()))
+
+
 def test_bands_salt_cap_residual_behavior(spark):
     """A key above salt_rows * max_salt nodes: the cap binds (slices
     grow past salt_rows — the documented residual-skew contract) but

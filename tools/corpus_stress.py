@@ -109,12 +109,97 @@ def run_once(cpus: int, tiles: int) -> dict:
     }
 
 
+def run_phases(cpus: int, tiles: int) -> dict:
+    """Stage-level wall times for the efficiency-gap attribution (r5):
+    which prepare_corpus stage loses parallel time at low widths?
+    Mirrors the pipeline's composition, materializing each stage
+    boundary once (the extra materializations make the SUM exceed the
+    fused pipeline's wall — only the per-stage local[2]/local[8] RATIOS
+    are meaningful)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from stop_sync_osm_atlas_spark.functions.training import train_models_fused
+    from stop_sync_osm_atlas_spark.operators.dedup import minhash_lsh_pairs
+    from stop_sync_osm_atlas_spark.operators.lines import clean_lines
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+    from stop_sync_osm_atlas_spark.session import get_spark
+
+    path = ensure_corpus(tiles)
+    spark = get_spark(master=f"local[{cpus}]")
+    docs = spark.read.parquet(path)
+    # warm-up
+    dec_w, bins_w = prepare_corpus(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    )
+    bins_w.count()
+    dec_w.unpersist()
+
+    out: dict = {"cpus": cpus, "tiles": tiles}
+
+    t0 = time.time()
+    cleaned = clean_lines(docs, max_line_df=2, with_stats=True)
+    base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
+    fp_w = W.partitionBy(F.md5(F.col("text_clean"))).orderBy("doc_id")
+    base = base.withColumn("_fp_rk", F.row_number().over(fp_w)).persist()
+    base.count()
+    out["clean_fp_sec"] = round(time.time() - t0, 2)
+
+    survivors = base.where(F.col("_fp_rk") == 1).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    t0 = time.time()
+    minhash_lsh_pairs(survivors).select("b_id").distinct().count()
+    out["lsh_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    train_models_fused(
+        base.where(F.col("_fp_rk") == 1).select(
+            F.col("text_clean").alias("text"), "lang"
+        )
+    )
+    out["train_sec"] = round(time.time() - t0, 2)
+    base.unpersist()
+
+    t0 = time.time()
+    decisions, bins = prepare_corpus(docs)
+    bins.count()
+    out["full_sec"] = round(time.time() - t0, 2)
+    decisions.unpersist()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--tiles", type=int, default=20)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--phases", action="store_true")
     args = ap.parse_args()
+
+    if args.phases and not args.scaling:
+        print(json.dumps(run_phases(args.cpus, args.tiles)))
+        return
+
+    if args.phases:  # --phases --scaling: per-stage local[2] vs local[8]
+        results = {}
+        for c in (2, 8):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(c),
+                 "--tiles", str(args.tiles), "--phases"],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        lo, hi = results[2], results[8]
+        report = {"metric": "corpus_prep_phase_scaling", "tiles": args.tiles}
+        for k in ("clean_fp_sec", "lsh_sec", "train_sec", "full_sec"):
+            report[k] = {
+                "local2": lo[k], "local8": hi[k],
+                "efficiency": round((lo[k] / hi[k]) / 4.0, 3),
+            }
+        print(json.dumps(report))
+        return
 
     if not args.scaling:
         print(json.dumps(run_once(args.cpus, args.tiles)))

@@ -37,3 +37,14 @@ def test_oracle_sql_is_nonempty_select():
     for name, sql in entry.oracle_sql().items():
         s = sql.strip().upper()
         assert s.startswith(("SELECT", "WITH")), name
+
+
+def test_q02_bounds_cached_frames(spark):
+    """prepare_corpus leaves its decisions frame persisted by contract;
+    q02 must hold AT MOST ONE live cached frame across repeated calls
+    (bench best-of-3 previously accumulated one per run — ADVICE r4)."""
+    sf = "/root/testdata/sf0.001"
+    for _ in range(3):
+        entry.queries()["q02_corpus_prep"](spark, sf).count()
+    assert len(entry._Q02_LIVE) == 1
+    entry._Q02_LIVE.pop().unpersist()

@@ -14,7 +14,6 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -429,32 +428,23 @@ def q19_sessionize(spark, sf):
         .withColumn("mode", F.lit("batch"))
     )
 
-    import hashlib
-    import shutil
+    from stop_sync_osm_atlas_spark.streaming.stream import (
+        stage_and_drain,
+        stream_sessionize,
+    )
 
-    from stop_sync_osm_atlas_spark.streaming.stream import stream_sessionize
-
-    tmp = (
-        f"/tmp/spark_graft_q19_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
-        f"_p{os.getpid()}"
+    sink = stage_and_drain(
+        spark, e, stream_sessionize, "q19_session_sink", tag=sf,
+        output_mode="update",
     )
-    e.write.mode("overwrite").parquet(tmp)
-    name = "q19_session_sink"
-    q = (
-        stream_sessionize(spark, tmp)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
+    stream = (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .withColumn("mode", F.lit("stream"))
     )
-    q.processAllAvailable()
-    q.stop()
-    stream = spark.sql(
-        f"SELECT user_id, max(n_sessions) AS n_sessions, "
-        f"max(n_events) AS n_events, 'stream' AS mode FROM {name} "
-        f"GROUP BY user_id"
-    )
-    shutil.rmtree(tmp, ignore_errors=True)
     return batch.unionByName(stream)
 
 
@@ -884,38 +874,18 @@ def q53_stream_dedup(spark, sf):
     SET must equal the batch dedup's distinct fingerprints (the winner
     row per fingerprint depends on arrival order, so the set is the
     deterministic contract)."""
-    from stop_sync_osm_atlas_spark.streaming.stream import stream_exact_dedup
-
-    import hashlib
-    import shutil
+    from stop_sync_osm_atlas_spark.streaming.stream import (
+        stage_and_drain,
+        stream_exact_dedup,
+    )
 
     pairs = _derived_pairs(spark, sf).select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     )
-    # deterministic PER-PROCESS staging path: md5(sf) keeps re-runs in one
-    # driver from leaking fresh /tmp copies (hash() was PYTHONHASHSEED-
-    # randomized), while the pid discriminator keeps two drivers grading
-    # the same fixture concurrently from overwriting each other's staging
-    # dir mid-stream (each cleans up only its own copy below).
-    tmp = (
-        f"/tmp/spark_graft_q53_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
-        f"_p{os.getpid()}"
-    )
-    pairs.write.mode("overwrite").parquet(tmp)
-    name = "q53_dedup_sink"
-    q = (
-        stream_exact_dedup(spark, tmp)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    out = spark.sql(f"SELECT DISTINCT fp FROM {name}")
-    # the memory sink owns the rows now — drop the staging copy
-    shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    # staging path / cleanup contract (per-process determinism,
+    # concurrent-driver isolation, exception safety): stage_and_drain
+    sink = stage_and_drain(spark, pairs, stream_exact_dedup, "q53_dedup_sink", tag=sf)
+    return sink.select("fp").distinct()
 
 
 def q54_neardup_bands(spark, sf):

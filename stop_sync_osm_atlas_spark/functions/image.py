@@ -50,6 +50,14 @@ _JPEG_STEP = 4
 # the 200k-row bench fixture ~+150 MB while every pipeline run still
 # decodes genuine PNGs on the hot path
 REAL_PNG_MAX_PIXELS = 1024
+# Decode-side allocation cap (DoS guard): one corrupt header claiming
+# 65536 x 65536 would otherwise allocate ~12 GB inside a mapInPandas
+# worker and kill the task for the whole batch. 2^24 pixels (= 4096 x
+# 4096, ~50 MB decoded) is far above any training-corpus image; rows
+# beyond it surface as err='too_large' like any other malformed row.
+# The PNG path enforces it BEFORE inflating (bounded decompressobj), so
+# a deflate bomb in IDAT can never expand past the claimed-dims budget.
+MAX_DECODE_PIXELS = 1 << 24
 
 DECODE_STATS_SCHEMA = (
     "image_id string, ok boolean, dec_w int, dec_h int, psnr double, err string"
@@ -194,47 +202,72 @@ def _png_chunks(b: bytes):
     raise ValueError("png_bad_structure")  # no IEND
 
 
-def decode_png(b: bytes) -> tuple[np.ndarray | None, int, int, str | None]:
-    """Real-PNG decode: -> (pixels|None, w, h, err|None)."""
+def _decode_png_ex(
+    b: bytes,
+) -> tuple[np.ndarray | None, int, int, int | None, str | None]:
+    """Real-PNG decode: -> (pixels|None, w, h, seed|None, err|None).
+
+    The tEXt ground-truth seed is captured during the SAME chunk walk
+    that parses IHDR/IDAT, so hot-path callers (decode_stats) never
+    re-parse and re-CRC the stream a second time for the seed.
+    """
+    seed: int | None = None
     try:
         ihdr = None
         idat = b""
         for tag, data in _png_chunks(b):
             if tag == b"IHDR":
                 if ihdr is not None or len(data) != 13:
-                    return None, 0, 0, "png_bad_structure"
+                    return None, 0, 0, None, "png_bad_structure"
                 ihdr = struct.unpack(">IIBBBBB", data)
             elif tag == b"IDAT":
                 idat += data
+            elif tag == b"tEXt" and data.startswith(b"seed\x00"):
+                try:
+                    seed = int(data[5:])
+                except ValueError:
+                    seed = None
     except ValueError as exc:
-        return None, 0, 0, str(exc)
+        return None, 0, 0, seed, str(exc)
     if ihdr is None:
-        return None, 0, 0, "png_bad_structure"
+        return None, 0, 0, seed, "png_bad_structure"
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-        return None, w, h, "png_unsupported"
+        return None, w, h, seed, "png_unsupported"
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
-        return None, w, h, "bad_dims"
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
-        return None, w, h, "png_inflate_error"
+        return None, w, h, seed, "bad_dims"
+    if w * h > MAX_DECODE_PIXELS:
+        return None, w, h, seed, "too_large"
     stride = 1 + w * 3
-    if len(raw) != h * stride:
-        return None, w, h, "png_bad_length"
+    expected = h * stride
+    # bounded inflate: never materialize more than the claimed-dims
+    # budget + 1 byte, whatever the deflate stream claims to hold
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(idat, expected + 1)
+    except zlib.error:
+        return None, w, h, seed, "png_inflate_error"
+    if len(raw) != expected or not d.eof:
+        return None, w, h, seed, "png_bad_length"
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     ftypes = arr[:, 0]
     if (ftypes > 4).any():
-        return None, w, h, "png_bad_filter"
+        return None, w, h, seed, "png_bad_filter"
     if (ftypes == 0).all():
         # the encode default: no per-row work at all
-        return arr[:, 1:].reshape(h, w, 3).copy(), w, h, None
+        return arr[:, 1:].reshape(h, w, 3).copy(), w, h, seed, None
     px = np.zeros((h, w * 3), dtype=np.uint8)
     prev = np.zeros(w * 3, dtype=np.uint8)
     for y in range(h):
         px[y] = _png_unfilter_row(int(ftypes[y]), arr[y, 1:], prev, 3)
         prev = px[y]
-    return px.reshape(h, w, 3), w, h, None
+    return px.reshape(h, w, 3), w, h, seed, None
+
+
+def decode_png(b: bytes) -> tuple[np.ndarray | None, int, int, str | None]:
+    """Real-PNG decode: -> (pixels|None, w, h, err|None)."""
+    px, w, h, _seed, e = _decode_png_ex(b)
+    return px, w, h, e
 
 
 def png_seed(b: bytes) -> int | None:
@@ -267,27 +300,43 @@ def encode_image(seed: int, w: int, h: int, fmt: str) -> bytes:
     return MAGIC + struct.pack("<BIIQ", _FMT_CODES[fmt], w, h, seed & (2**64 - 1))
 
 
-def decode_image(b: bytes) -> tuple[np.ndarray | None, int, int, str, str | None]:
-    """bytes -> (pixels|None, w, h, fmt, err|None)."""
+def decode_image_full(
+    b: bytes,
+) -> tuple[np.ndarray | None, int, int, str, int | None, str | None]:
+    """bytes -> (pixels|None, w, h, fmt, ground_truth_seed|None, err|None).
+
+    The one-walk decode: the seed rides the same parse as the pixels
+    (tEXt chunk for real PNG, header field for the synthetic stream), so
+    callers needing both never pay a second chunk walk + CRC pass —
+    ``ground_truth_seed`` exists for seed-only callers.
+    """
     if b is None:
-        return None, 0, 0, "", "null_bytes"
+        return None, 0, 0, "", None, "null_bytes"
     if b[: len(PNG_SIG)] == PNG_SIG:
-        px, w, h, e = decode_png(b)
-        return px, w, h, "png", e
+        px, w, h, seed, e = _decode_png_ex(b)
+        return px, w, h, "png", seed, e
     if len(b) < len(MAGIC) + 17 or b[: len(MAGIC)] != MAGIC:
-        return None, 0, 0, "", "bad_magic_or_truncated"
+        return None, 0, 0, "", None, "bad_magic_or_truncated"
     fmt_code, w, h, seed = struct.unpack("<BIIQ", b[len(MAGIC) : len(MAGIC) + 17])
     if fmt_code not in _FMT_NAMES:
-        return None, w, h, "", "unknown_fmt_code"
+        return None, w, h, "", None, "unknown_fmt_code"
     if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
-        return None, w, h, _FMT_NAMES[fmt_code], "bad_dims"
+        return None, w, h, _FMT_NAMES[fmt_code], seed, "bad_dims"
+    if w * h > MAX_DECODE_PIXELS:
+        return None, w, h, _FMT_NAMES[fmt_code], seed, "too_large"
     px = synth_pixels(seed, w, h)
     if _FMT_NAMES[fmt_code] == "jpeg":
         # uint8-safe quantization: (x // 4) * 4 + 2 <= 254, no overflow
         px = (px // np.uint8(_JPEG_STEP)) * np.uint8(_JPEG_STEP) + np.uint8(
             _JPEG_STEP // 2
         )
-    return px, w, h, _FMT_NAMES[fmt_code], None
+    return px, w, h, _FMT_NAMES[fmt_code], seed, None
+
+
+def decode_image(b: bytes) -> tuple[np.ndarray | None, int, int, str, str | None]:
+    """bytes -> (pixels|None, w, h, fmt, err|None)."""
+    px, w, h, fmt, _seed, e = decode_image_full(b)
+    return px, w, h, fmt, e
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -319,7 +368,7 @@ def decode_stats(pairs: DataFrame) -> DataFrame:
             for i, (b, w_meta, h_meta) in enumerate(
                 zip(pdf["bytes"], pdf["w"], pdf["h"])
             ):
-                px, w, h, fmt, e = decode_image(b)
+                px, w, h, fmt, truth_seed, e = decode_image_full(b)
                 dec_w[i], dec_h[i] = w, h
                 if e is not None:
                     err[i] = e
@@ -327,7 +376,6 @@ def decode_stats(pairs: DataFrame) -> DataFrame:
                 if w != w_meta or h != h_meta:
                     err[i] = "dims_mismatch_metadata"
                     continue
-                truth_seed = ground_truth_seed(b)
                 if fmt == "png" and (
                     truth_seed is None or b[: len(PNG_SIG)] != PNG_SIG
                 ):
@@ -440,7 +488,7 @@ def decode_validate_inline(pairs: DataFrame) -> DataFrame:
             for i, (b, w_meta, h_meta) in enumerate(
                 zip(pdf["bytes"], pdf["w"], pdf["h"])
             ):
-                px, w, h, fmt, e = decode_image(b)
+                px, w, h, fmt, seed, e = decode_image_full(b)
                 if e is not None or w != w_meta or h != h_meta:
                     continue
                 if fmt == "png":
@@ -450,7 +498,6 @@ def decode_validate_inline(pairs: DataFrame) -> DataFrame:
                     # truth either — decode_stats runs the full check)
                     ok[i] = True
                     continue
-                seed = ground_truth_seed(b)
                 ok[i] = psnr(px, synth_pixels(seed, w, h)) >= 40.0
             sig = [_text_signals(cap) for cap in pdf["caption"]]
             out = pdf.drop(columns=["bytes"]).copy()

@@ -186,9 +186,15 @@ def _components_banded(
     array (the `_cluster_partition` tiny-group trick, uncapped): d-th
     iteration compares row i with row i+d under a same-block mask, so
     the Python-level loop runs max_block_size times total, not once per
-    block. Residual: an adversarial band value holding ~all hashes
-    re-approaches n^2 for that band — still strictly <= the direct
-    cost, never worse.
+    block. Residual: an adversarial input can degenerate MANY composite
+    keys at once (hashes differing only inside the bits of <= radius
+    bands make every combo avoiding those bands one full-array block),
+    costing up to ~C(n_bands, c) * n^2 — a bounded multiple of the
+    direct cost, not strictly below it. On real hash data the
+    interleaved bands keep blocks near n / 2^band_width and the
+    measured win is ~30-50x (see BENCH/BASELINE.md); the dispatch
+    threshold _BANDED_COMPONENTS_MIN trades that worst case for the
+    227k-rep serial collapse it prevents.
 
     Candidate sharpening: agreeing on >= 1 band is the loosest complete
     blocking — a pair within ``radius`` over n_bands bands actually
@@ -377,8 +383,8 @@ def neardup_phash_map(
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     bridge: str = "multiprobe",
     band_bits: int | None = None,
-    band_salt_rows: int = None,  # type: ignore[assignment]
-    band_max_salt: int = None,  # type: ignore[assignment]
+    band_salt_rows: int | None = None,
+    band_max_salt: int | None = None,
 ) -> tuple[DataFrame, int]:
     """pairs -> (phash -> cluster map, map row count).
 
@@ -605,8 +611,8 @@ def neardup_clusters(
     hot_threshold: int = DEFAULT_HOT_THRESHOLD,
     bridge: str = "multiprobe",
     band_bits: int | None = None,
-    band_salt_rows: int = None,  # type: ignore[assignment]
-    band_max_salt: int = None,  # type: ignore[assignment]
+    band_salt_rows: int | None = None,
+    band_max_salt: int | None = None,
 ) -> DataFrame:
     """pairs -> (image_id, cluster_id, cluster_size, is_cluster_rep).
 

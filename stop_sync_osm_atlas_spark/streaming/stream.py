@@ -92,6 +92,58 @@ def run_stream_to_memory(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def stage_and_drain(
+    spark: SparkSession,
+    df: DataFrame,
+    make_stream,
+    query_name: str,
+    tag: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Replay a batch frame through a streaming transform, synchronously.
+
+    Stages ``df`` to a per-process /tmp parquet dir, runs
+    ``make_stream(spark, staging_dir)`` (a readStream-over-directory
+    builder like ``stream_exact_dedup``/``stream_sessionize``) into a
+    memory sink named ``query_name``, drains it to completion, and
+    returns the sink's rows as a batch frame — the batch-equivalence
+    grading harness shared by entry q19 and q53.
+
+    Staging path = md5(tag) + pid: deterministic per process (re-runs in
+    one driver overwrite ONE dir instead of leaking fresh copies — the
+    old ``hash()`` path was PYTHONHASHSEED-randomized) while two drivers
+    grading the same fixture concurrently never clobber each other.
+    Cleanup is exception-safe: the query is stopped and the staging dir
+    removed even when the drain throws, so failed runs leak neither a
+    running stream nor a per-pid parquet copy; the memory sink owns the
+    rows once drained, so the returned frame survives the rmtree.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    tmp = (
+        f"/tmp/spark_graft_{query_name}_"
+        f"{hashlib.md5(tag.encode()).hexdigest()[:10]}_p{os.getpid()}"
+    )
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        q = (
+            make_stream(spark, tmp)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT * FROM {query_name}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"

@@ -174,6 +174,104 @@ def test_real_png_corrupt_streams():
     assert err == "png_unsupported"
 
 
+def test_decode_bomb_guard():
+    """Allocation-bomb hardening: a corrupt header claiming huge dims
+    (65536 x 65536 passes the per-axis <= 2^16 check but would allocate
+    ~12 GB) surfaces as err='too_large' WITHOUT allocating, on both byte
+    layouts; a deflate bomb whose IDAT expands past the claimed-dims
+    budget dies at the bounded inflate, not in memory."""
+    import struct as st
+    import zlib
+
+    from stop_sync_osm_atlas_spark.functions.image import (
+        MAGIC,
+        PNG_SIG,
+        _png_chunk,
+        decode_image,
+    )
+
+    # synthetic stream, 2^32-pixel claim
+    bomb = MAGIC + st.pack("<BIIQ", 0, 1 << 16, 1 << 16, 7)
+    _, w, h, fmt, err = decode_image(bomb)
+    assert err == "too_large" and (w, h) == (1 << 16, 1 << 16)
+
+    # real-PNG header with the same claim: rejected BEFORE inflating
+    ihdr = st.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 2, 0, 0, 0)
+    png_bomb = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, _, _, err = decode_image(png_bomb)
+    assert err == "too_large"
+
+    # in-cap dims but an IDAT that inflates past the claimed budget:
+    # the bounded decompressobj stops at budget+1 -> png_bad_length
+    small_ihdr = st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    overflow = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", small_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, _, _, err = decode_image(overflow)
+    assert err == "png_bad_length"
+
+    # truncated deflate stream: incremental inflate ends without eof
+    good_raw = bytes(4 * (1 + 12))
+    trunc = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", small_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(good_raw)[:-4])
+        + _png_chunk(b"IEND", b"")
+    )
+    _, _, _, _, err = decode_image(trunc)
+    assert err == "png_bad_length"
+
+
+def test_png_decoder_fuzz_never_raises():
+    """Adversarial robustness (the mapInPandas contract: one malformed
+    web image must surface as a per-row error string, never an exception
+    that fails the whole 100-TB task): random byte mutations,
+    truncations/extensions, and arbitrary bytes behind the PNG signature
+    all decode cleanly or error cleanly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    from stop_sync_osm_atlas_spark.functions.image import (
+        PNG_SIG,
+        decode_image_full,
+        encode_image,
+    )
+
+    base = encode_image(1234, 17, 11, "png")
+
+    @settings(max_examples=250, deadline=None)
+    @given(data=st_h.data())
+    def run(data):
+        mode = data.draw(st_h.integers(0, 2))
+        if mode == 0:  # byte mutations of a valid stream
+            b = bytearray(base)
+            for _ in range(data.draw(st_h.integers(1, 8))):
+                i = data.draw(st_h.integers(0, len(b) - 1))
+                b[i] = data.draw(st_h.integers(0, 255))
+            buf = bytes(b)
+        elif mode == 1:  # truncation and/or junk tail
+            cut = data.draw(st_h.integers(0, len(base)))
+            buf = base[:cut] + data.draw(st_h.binary(max_size=32))
+        else:  # arbitrary bytes behind the signature
+            buf = PNG_SIG + data.draw(st_h.binary(max_size=256))
+        px, w, h, fmt, seed, err = decode_image_full(buf)
+        if err is None:
+            assert px is not None and px.shape == (h, w, 3)
+            assert px.dtype == np.uint8
+        else:
+            assert px is None and isinstance(err, str) and err
+
+    run()
+
+
 def test_real_png_through_spark_operators(spark):
     """The Spark-side operators decode REAL PNG bytes end-to-end:
     decode_stats runs the genuine roundtrip PSNR (inf) and flags a

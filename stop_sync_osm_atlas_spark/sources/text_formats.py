@@ -126,11 +126,14 @@ def read_osm_xml(
     pass over './tag' children pivoting selected k/v pairs). Here the
     native XML source splits <node> elements across tasks, the explicit
     schema skips inference entirely (SURVEY.md §1.3: no schema
-    inference, ever), and the k/v pivot is map_from_entries +
-    element_at — fine for ingestion (CodegenFallback on the map build
-    is irrelevant off the hot path; the scan parallelizes by file
-    split at 100 TB where the reference holds the whole country
-    in one ElementTree).
+    inference, ever), and the k/v pivot is a per-key first-match
+    filter + null-safe get — NOT map_from_entries, whose default
+    dedup policy (EXCEPTION) lets ONE malformed node carrying a
+    duplicate tag key fail the whole import; first occurrence wins
+    instead, matching the reference's dict-overwrite-free iteration
+    order. CodegenFallback on the higher-order filter is irrelevant
+    off the hot path; the scan parallelizes by file split at 100 TB
+    where the reference holds the whole country in one ElementTree.
     """
     raw = (
         spark.read.format("xml")
@@ -141,14 +144,17 @@ def read_osm_xml(
     tags = F.coalesce(
         F.col("tag"), F.array().cast(OSM_NODE_SCHEMA["tag"].dataType)
     )
-    m = F.map_from_entries(
-        F.transform(tags, lambda t: F.struct(t["_k"].alias("k"), t["_v"].alias("v")))
-    )
+
+    def _tag(k: str) -> Column:
+        # F.get is null-on-missing under every ANSI setting (unlike
+        # element_at, which raises for absent map keys under ANSI)
+        return F.get(F.filter(tags, lambda t: t["_k"] == k), 0)["_v"]
+
     cols = [
         F.col("_id").alias("node_id"),
         F.col("_lat").alias("lat"),
         F.col("_lon").alias("lon"),
-    ] + [F.element_at(m, k).alias(k) for k in tag_keys]
+    ] + [_tag(k).alias(k) for k in tag_keys]
     return raw.select(*cols)
 
 

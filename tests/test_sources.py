@@ -107,12 +107,16 @@ def test_read_osm_xml(spark, tmp_path):
     <tag k="uic_ref" v="8503000"/>
   </node>
   <node id="103" lat="46.005" lon="8.953"/>
+  <node id="104" lat="46.516" lon="6.629">
+    <tag k="name" v="Lausanne"/>
+    <tag k="name" v="Losanna"/>
+  </node>
 </osm>
 """
     p = tmp_path / "nodes.xml"
     p.write_text(xml)
     out = read_osm_xml(spark, str(p)).toPandas().set_index("node_id").sort_index()
-    assert list(out.index) == [101, 102, 103]
+    assert list(out.index) == [101, 102, 103, 104]
     assert out.loc[101, "public_transport"] == "platform"
     assert out.loc[101, "uic_ref"] == "8507000"
     assert out.loc[102, "uic_ref"] == "8503000"
@@ -120,6 +124,10 @@ def test_read_osm_xml(spark, tmp_path):
     # node with no tags at all -> all tag columns null
     assert pd.isna(out.loc[103, "uic_ref"]) and pd.isna(out.loc[103, "name"])
     assert abs(out.loc[103, "lat"] - 46.005) < 1e-9
+    # ONE malformed node with a duplicate tag key must not fail the
+    # import (map_from_entries' EXCEPTION dedup policy would throw):
+    # first occurrence wins
+    assert out.loc[104, "name"] == "Lausanne"
 
 
 def test_read_zip_csv(spark, tmp_path):

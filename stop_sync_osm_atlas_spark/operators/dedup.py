@@ -40,9 +40,20 @@ def md5_int(c: Column, hex_chars: int = 7) -> Column:
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text (array<string>)."""
+    """Distinct word n-gram shingles of normalized text (array<string>).
+
+    Documents with fewer than ``n`` words yield an EMPTY array (same
+    contract as ``shingle_rows``, which yields no rows). The short-doc
+    gate must be an explicit ``when``: ``sequence(1, 0)`` is NOT empty
+    (Spark infers step -1 and returns [1, 0]), and ``element_at`` past
+    the array end throws under ANSI mode (the Spark 4 default) — so the
+    old greatest(..., 0) clamp let one sub-n-word document kill the
+    whole job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    """
     w = F.split(norm_text(c), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]))
     )

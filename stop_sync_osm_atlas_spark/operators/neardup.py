@@ -698,6 +698,15 @@ def _band_bucket_pairs(
             f"band_bits={band_bits} must evenly split the {span} bits "
             f"above the {bits}-bit bucket window"
         )
+    # eager knob validation: max_salt < 1 would reach pmod(x, 0) deep in
+    # the executed plan — a job-killing REMAINDER_BY_ZERO under ANSI
+    # (and sequence(0, -1) yields [0, -1], not empty) — so fail at plan
+    # build time with the actual knob name
+    if salt_rows < 1 or max_salt < 1:
+        raise ValueError(
+            f"salt_rows={salt_rows} and max_salt={max_salt} must both "
+            f"be >= 1 (salt striping degenerates to pmod-by-zero)"
+        )
     n_upper = span // band_bits
     if radius > n_upper:
         raise ValueError(

@@ -52,6 +52,9 @@ def pack_bins(
     (e.g. ``pmod(doc_id, shards)``) so the sharded renumbering path is
     reproducible in SQL oracles that lack xxhash64.
     """
+    if budget < 1:
+        # fail at plan build, not as a DIVIDE_BY_ZERO mid-job under ANSI
+        raise ValueError(f"budget={budget} must be >= 1 token per bin")
     if shards <= 1:
         w = (
             W.partitionBy(part_col)

@@ -79,6 +79,10 @@ def mixture_rates(
     # (least(1.0, null) = 1.0), so a null weight reaching the clamp
     # would silently sample an unlisted domain at the cap instead of 0.
     totals = totals.withColumn("_w", w_expr).where(F.col("_w").isNotNull())
+    # a listed domain whose docs sum to 0 tokens can't supply anything:
+    # emit no rate row (same outcome as rate 0) rather than letting
+    # budget * w / 0 raise DIVIDE_BY_ZERO under ANSI mid-job
+    totals = totals.where(F.col("_tokens") > 0)
     rate = F.least(
         F.lit(float(max_epochs)),
         F.lit(float(budget_tokens)) * F.col("_w") / F.col("_tokens"),

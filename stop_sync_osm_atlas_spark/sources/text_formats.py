@@ -52,8 +52,12 @@ def read_fixed_width(
         raw = raw.filter(~F.col("value").startswith(comment_prefix))
     for g in guards or []:
         raw = raw.filter(g)
+    # try_cast, not cast: under ANSI (Spark 4 default) a plain cast
+    # turns ONE malformed line anywhere in the feed into a job-killing
+    # CAST_INVALID_INPUT; the reference's pandas parse coerces bad
+    # numerics to NaN instead. Malformed fields -> null, rows survive.
     cols = [
-        F.trim(F.substring("value", f.start, f.length)).cast(f.dtype).alias(f.name)
+        F.trim(F.substring("value", f.start, f.length)).try_cast(f.dtype).alias(f.name)
         for f in fields
     ]
     return raw.select(*cols)
@@ -65,10 +69,13 @@ def read_fixed_width(
 def read_hrdf_gleise_like(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path).filter(~F.col("value").startswith("%"))
     guarded = raw.filter(F.substring("value", 10, 1) == "G")
+    # try_cast: regexp_extract yields '' on no-match, which a plain
+    # ANSI cast rejects as CAST_INVALID_INPUT — a track-less line must
+    # parse with track=null, not kill the scan.
     return guarded.select(
-        F.substring("value", 1, 7).cast("long").alias("uic"),
+        F.substring("value", 1, 7).try_cast("long").alias("uic"),
         F.regexp_extract("value", r"'([^']*)'", 1).alias("name"),
-        F.regexp_extract("value", r"(\d+)\s*$", 1).cast("int").alias("track"),
+        F.regexp_extract("value", r"(\d+)\s*$", 1).try_cast("int").alias("track"),
     )
 
 

@@ -23,6 +23,34 @@ def docs(spark):
     return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
 
 
+def test_word_shingles_short_docs_survive_ansi(spark):
+    """Docs with < n words must yield an EMPTY shingle array, not an
+    ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT job kill: sequence(1, 0)
+    returns [1, 0] (negative-step inference), which used to drive
+    element_at past the array end for every sub-n-word document."""
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three four",)], ["text"]
+    )
+    out = {
+        r.text: r.sh
+        for r in df.select(
+            "text", DD.word_shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert out[""] == []
+    assert out["one"] == []
+    assert out["one two"] == []
+    assert sorted(out["one two three four"]) == ["one two three", "two three four"]
+    # the Column-variant minhash over an empty shingle set must also not
+    # throw (array_min over empty -> null signature entries)
+    sig = (
+        df.select(DD.minhash_signature(F.col("text")).alias("sig"))
+        .where(F.col("sig").isNotNull())
+        .collect()
+    )
+    assert len(sig) == 4
+
+
 def test_exact_dedup(docs):
     out = DD.exact_dedup(docs).toPandas().set_index("doc_id")
     assert out.loc[1, "dup_count"] == 2 and out.loc[2, "dup_count"] == 2
@@ -556,3 +584,12 @@ def test_pack_bins_randomized_conservation_and_density(spark, seed):
     a = out.sort_values(["lang", "bin"]).reset_index(drop=True)
     b = out2.sort_values(["lang", "bin"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_bins_budget_validation_is_eager(spark):
+    """budget < 1 must fail at plan build with the parameter name, not
+    as an ANSI DIVIDE_BY_ZERO inside the window projection mid-job."""
+    from stop_sync_osm_atlas_spark.operators.packing import pack_bins
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_bins(None, F.lit(1), budget=0)

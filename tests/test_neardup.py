@@ -438,3 +438,15 @@ def test_propagation_rep_drops_members(spark, fixture_1k, fixture_paths, nd_kwar
     assert len(nd) > 0
     assert (~nd["is_cluster_rep"]).all()
     assert (nd["decision"] == "drop").all()
+
+
+def test_bands_salt_knob_validation_is_eager():
+    """max_salt/salt_rows < 1 must fail at plan-build time with the
+    knob name — not as a REMAINDER_BY_ZERO (pmod by 0 under ANSI) deep
+    inside the executed bands self-join."""
+    from stop_sync_osm_atlas_spark.operators.neardup import _band_bucket_pairs
+
+    with pytest.raises(ValueError, match="max_salt"):
+        _band_bucket_pairs(None, bits=16, radius=2, max_salt=0)
+    with pytest.raises(ValueError, match="salt_rows"):
+        _band_bucket_pairs(None, bits=16, radius=2, salt_rows=0)

@@ -128,3 +128,23 @@ def test_hash_sample_consistent_across_tables(spark):
     sidecar = sdf.select("doc_id", F.lit(1).alias("x"))
     b = set(r["doc_id"] for r in hash_sample(sidecar, 150).select("doc_id").collect())
     assert a == b and a
+
+
+def test_mixture_zero_token_domain_is_dropped_not_div0(spark):
+    """A listed domain whose docs sum to 0 tokens must emit nothing —
+    not raise DIVIDE_BY_ZERO under ANSI mode (the Spark 4 default) from
+    budget * w / 0 in the rate expression."""
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "lang": ["en", "en", "zz", "zz"],
+                "n_tok": [50, 70, 0, 0],
+            }
+        )
+    )
+    weights = {"en": 0.5, "zz": 0.5}
+    rates = mixture_rates(sdf, weights, 100.0, F.col("n_tok")).collect()
+    assert {r["lang"] for r in rates} == {"en"}
+    out = mixture_sample(sdf, weights, 100.0, F.col("n_tok")).collect()
+    assert all(r["lang"] == "en" for r in out)

@@ -37,6 +37,41 @@ def test_fixed_width_text_scan(spark, tmp_path):
     assert rows[8507000]["track"] == 2
 
 
+def test_fixed_width_malformed_lines_yield_nulls(spark, tmp_path):
+    """One malformed numeric field must not kill the scan under ANSI
+    mode (Spark 4 default): read_fixed_width / read_hrdf_gleise_like
+    try_cast, so bad fields come back null and good rows survive."""
+    from stop_sync_osm_atlas_spark.sources.text_formats import (
+        FixedWidthField,
+        read_fixed_width,
+        read_hrdf_gleise_like,
+    )
+
+    p = tmp_path / "fw.txt"
+    p.write_text(
+        "\n".join(
+            [
+                "8503000  G 'Zuerich HB'      1  ",
+                "85x7000  G 'Corrupt UIC'     2  ",  # non-numeric uic
+                "8507000  G 'No Track'           ",  # trailing digits absent
+            ]
+        )
+    )
+    fw = read_fixed_width(
+        spark,
+        str(p),
+        [
+            FixedWidthField("uic", 1, 7, "long"),
+            FixedWidthField("kind", 10, 1),
+        ],
+    ).collect()
+    assert [r.uic for r in fw] == [8503000, None, 8507000]
+    hr = {r.name: r for r in read_hrdf_gleise_like(spark, str(p)).collect()}
+    assert hr["Corrupt UIC"].uic is None and hr["Corrupt UIC"].track == 2
+    assert hr["No Track"].uic == 8507000 and hr["No Track"].track is None
+    assert hr["Zuerich HB"].uic == 8503000 and hr["Zuerich HB"].track == 1
+
+
 def test_semicolon_csv_explicit_schema(spark, tmp_path):
     """S1: ';'-separated CSV with explicit StructType, no inference
     (reference matching_script.py:183 pd.read_csv(sep=';'))."""

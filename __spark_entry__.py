@@ -53,9 +53,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _sql_words(col: str) -> str:
+    # trim on the full ASCII-whitespace charset (_WS), mirroring
+    # functions/text.words: space-only trim leaves tab/CRLF padding that
+    # splits into phantom '' tokens and inflates every word count
     return (
-        f"CASE WHEN {col} IS NOT NULL AND trim({col}) <> '' "
-        f"THEN string_split_regex(lower(trim({col})), '\\s+') "
+        f"CASE WHEN {col} IS NOT NULL AND trim({col}, {_WS}) <> '' "
+        f"THEN string_split_regex(lower(trim({col}, {_WS})), '\\s+') "
         f"ELSE [] END"
     )
 
@@ -532,7 +535,7 @@ def q37_token_match(spark, sf):
     ]
     dim = spark.createDataFrame(tok_rows, "token string, prio int, lang string")
     toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).alias("token")
+        "doc_id", F.explode(F.array_distinct(TX.words(F.col("text")))).alias("token")
     )
     j = toks.join(F.broadcast(dim), "token")
     return j.groupBy("doc_id").agg(
@@ -970,7 +973,7 @@ def q48_model_cascade(spark, sf):
         .withColumn("nw", TX.n_words(cap))
     )
     rule = (
-        F.when(cap.isNull() | (F.trim(cap) == ""), F.lit("empty_caption"))
+        F.when(TX.is_blank(cap), F.lit("empty_caption"))
         .when(F.col("nw") < 5, F.lit("caption_too_short"))
         .when(F.col("ppl") > 6.0, F.lit("high_perplexity"))
         .when(F.col("pred_lang") != F.col("lang"), F.lit("langid_mismatch"))
@@ -1055,7 +1058,7 @@ def _oracle_q23() -> str:
     lang_case, lang_selects = _sql_langid(f"(w)")
     scrub = _sql_scrub("caption")
     residue = (
-        f"trim(regexp_replace({scrub}, '<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>', '', 'g'))"
+        f"trim(regexp_replace({scrub}, '<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>', '', 'g'), {_WS})"
     )
     cfg = RuleConfig()
     return f"""
@@ -1083,13 +1086,13 @@ WITH pairs AS (
 ), hits AS (
   SELECT *,
     (w IS NULL OR h IS NULL OR w <= 0 OR h <= 0 OR fmt IS NULL OR fmt NOT IN ('png','jpeg')) AS h_corrupt,
-    (caption IS NULL OR trim(caption) = '') AS h_empty,
+    (caption IS NULL OR trim(caption, {_WS}) = '') AS h_empty,
     (nw < {cfg.min_words}) AS h_short,
     (nw > {cfg.max_words}) AS h_long,
     (rep >= {cfg.max_repetition}) AS h_rep,
     (sym >= {cfg.max_symbol_ratio}) AS h_sym,
     (nw >= {cfg.stopword_rule_min_words} AND swd < {cfg.min_stopword_density}) AS h_lowstop,
-    (caption IS NOT NULL AND trim(caption) <> '' AND residue = '') AS h_piionly,
+    (caption IS NOT NULL AND trim(caption, {_WS}) <> '' AND residue = '') AS h_piionly,
     ({lang_case.replace('(w)', 'w_arr')} = 'und') AS h_und,
     (scrubbed <> caption) AS h_scrub,
     {lang_case.replace('(w)', 'w_arr')} AS lang
@@ -1422,7 +1425,7 @@ WITH {_PPL_CTES},
 {_NB_CTES},
 sig AS (
   SELECT d.doc_id, d.lang,
-    d.text IS NULL OR trim(d.text) = '' AS h_empty,
+    d.text IS NULL OR trim(d.text, {_WS}) = '' AS h_empty,
     len({words}) < 5 AS h_short,
     s.ppl,
     CASE WHEN p.nonempty THEN b.cand ELSE 'und' END AS pred_lang
@@ -1567,7 +1570,7 @@ sig0 AS (
     (round(coalesce(l.dups * 1.0 / l.n_l, 0.0), 6) > 0.30
      OR round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) > 0.20)
       AS is_rep,
-    (trim(c.text) = '') AS is_empty,
+    (trim(c.text, {_WS}) = '') AS is_empty,
     CAST(len({words}) AS INT) AS n_tok,
     s.ppl,
     CASE WHEN p.nonempty THEN b.cand ELSE 'und' END AS pred_lang
@@ -2238,7 +2241,7 @@ WHERE n_cand > 1 AND n_tie = 1 AND p_brand = 'Brand#11'
         "q37_token_match": """
 WITH dim(token, prio, lang) AS (VALUES ('der', 1, 'de'), ('die', 1, 'de'), ('das', 1, 'de'), ('und', 1, 'de'), ('ein', 1, 'de'), ('mit', 1, 'de'), ('auf', 1, 'de'), ('ist', 1, 'de'), ('von', 1, 'de'), ('zu', 1, 'de'), ('the', 2, 'en'), ('and', 2, 'en'), ('of', 2, 'en'), ('to', 2, 'en'), ('a', 2, 'en'), ('in', 2, 'en'), ('is', 2, 'en'), ('with', 2, 'en'), ('on', 2, 'en'), ('for', 2, 'en'), ('le', 3, 'fr'), ('la', 3, 'fr'), ('les', 3, 'fr'), ('et', 3, 'fr'), ('un', 3, 'fr'), ('une', 3, 'fr'), ('dans', 3, 'fr'), ('est', 3, 'fr'), ('avec', 3, 'fr'), ('sur', 3, 'fr'), ('il', 4, 'it'), ('la', 4, 'it'), ('di', 4, 'it'), ('e', 4, 'it'), ('un', 4, 'it'), ('una', 4, 'it'), ('con', 4, 'it'), ('per', 4, 'it'), ('sono', 4, 'it'), ('del', 4, 'it')),
 toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS token
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '\\s+'))) AS token
   FROM documents
 )
 SELECT doc_id, min(prio) AS best_prio, count(*) AS n_matched_tokens

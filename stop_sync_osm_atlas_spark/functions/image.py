@@ -424,16 +424,19 @@ def decode_stats(pairs: DataFrame) -> DataFrame:
 # with set membership + precompiled regexes — ~20x cheaper, measured.
 # Semantics are pinned to the Catalyst implementations (functions/text,
 # operators/scrub) and the independent pandas oracle by the unit +
-# golden suites; ASCII-whitespace note: both Java \s and these python
-# regexes treat only ASCII whitespace as separators.
+# golden suites; ASCII-whitespace note: Java's \s is ASCII-only but
+# Python's is unicode-aware by default (\xa0 etc.), so every regex and
+# strip here is pinned to the ASCII set explicitly (re.ASCII /
+# _ASCII_WS) to match the Catalyst mirror byte-for-byte.
 
 import re as _re
 
 from ..fixtures.norm_tables import ALL_STOPWORDS as _SW_ALL
 from ..fixtures.norm_tables import STOPWORDS as _SW_BY_LANG
 
-_WS_RE = _re.compile(r"\s+")
-_SYMBOL_RE = _re.compile(r"[^A-Za-z0-9\s]")
+_ASCII_WS = " \t\n\x0b\x0c\r"  # Java \s, exactly
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+_SYMBOL_RE = _re.compile(r"[^A-Za-z0-9\s]", _re.ASCII)
 _PLACEHOLDER_RE = _re.compile(r"<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>")
 _SW_ALL_SET = frozenset(_SW_ALL)
 _SW_LANG_SETS = {lang: frozenset(ws) for lang, ws in _SW_BY_LANG.items()}
@@ -445,10 +448,10 @@ def _text_signals(cap) -> tuple:
     scrubbed, pii_only) — exact mirror of the Catalyst rule semantics."""
     from ..operators.scrub import scrub_python
 
-    if not isinstance(cap, str) or not cap.strip():
+    if not isinstance(cap, str) or not cap.strip(_ASCII_WS):
         scrubbed = scrub_python(cap) if isinstance(cap, str) else None
         return 0, 0.0, 0.0, 0.0, "und", 0.0, scrubbed, False
-    w = _WS_RE.split(cap.strip().lower())
+    w = _WS_RE.split(cap.strip(_ASCII_WS).lower())
     nw = len(w)
     rep = 1.0 - len(set(w)) / nw if nw else 0.0
     nospace = _WS_RE.sub("", cap)
@@ -460,7 +463,7 @@ def _text_signals(cap) -> tuple:
     )
     lang, conf = ("und", 0.0) if best_hits == 0 else (best_lang, best_hits / nw)
     scrubbed = scrub_python(cap)
-    residue = _PLACEHOLDER_RE.sub("", scrubbed).strip()
+    residue = _PLACEHOLDER_RE.sub("", scrubbed).strip(_ASCII_WS)
     pii_only = not residue
     return nw, rep, sym, swd, lang, conf, scrubbed, pii_only
 

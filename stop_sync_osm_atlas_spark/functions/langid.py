@@ -62,8 +62,11 @@ def langid_marker_cols(c: Column) -> tuple[Column, Column]:
 # ---------------------------------------------------------------------------
 
 
+_ASCII_WS = " \t\n\x0b\x0c\r"  # ASCII strip, matching the SQL oracle's _WS trim charset
+
+
 def _char_ngrams(s: str) -> list[str]:
-    s = f"^{s.lower().strip()}$"
+    s = f"^{s.lower().strip(_ASCII_WS)}$"
     out = []
     for n in range(_NGRAM_MIN, _NGRAM_MAX + 1):
         out.extend(s[i : i + n] for i in range(len(s) - n + 1))
@@ -83,7 +86,7 @@ def featurize(texts: "pd.Series") -> np.ndarray:
     are comparable with the DuckDB SQL oracle's double arithmetic)."""
     X = np.zeros((len(texts), HASH_DIM), dtype=np.float64)
     for i, t in enumerate(texts):
-        if not isinstance(t, str) or not t.strip():
+        if not isinstance(t, str) or not t.strip(_ASCII_WS):
             continue
         for g in _char_ngrams(t[:512]):
             X[i, _hash_ngram(g)] += 1.0
@@ -179,7 +182,7 @@ def langid_hashed_ngram_udf(model: dict):
         best = p.argmax(axis=1)
         lang = np.array(langs, dtype=object)[best]
         conf = p[np.arange(len(p)), best].astype(np.float64)
-        empty = ~captions.fillna("").str.strip().astype(bool)
+        empty = ~captions.fillna("").str.strip(_ASCII_WS).astype(bool)
         lang[empty.to_numpy()] = "und"
         conf[empty.to_numpy()] = 0.0
         return pd.DataFrame({"lang": lang, "conf": conf})

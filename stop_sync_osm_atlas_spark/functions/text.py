@@ -29,10 +29,38 @@ def norm_text(c: Column) -> Column:
     return F.lower(F.trim(c))
 
 
+def trim_ws(c: Column) -> Column:
+    """Strip leading/trailing ASCII whitespace ([ \\t\\n\\x0b\\f\\r]).
+
+    ``F.trim`` strips ONLY 0x20, so tab/CRLF padding — ubiquitous in
+    web text — leaks into tokenization and empty checks. Java's \\s is
+    exactly the ASCII set, which Python mirrors with ``re.ASCII`` and
+    DuckDB with an explicit trim charset (the ``_WS`` constant in
+    ``__spark_entry__.py``); \\xa0 (NBSP) is whitespace in NO mirror.
+    Residual: RE2 (DuckDB) excludes \\x0b from \\s, so a vertical-tab
+    BOUNDARY inside text splits differently there — trim itself is
+    charset-exact in all three engines.
+    """
+    return F.regexp_replace(F.coalesce(c, F.lit("")), r"^\s+|\s+$", "")
+
+
+def is_blank(c: Column) -> Column:
+    """True iff null or nothing but ASCII whitespace — the empty-text
+    gate, aligned with ``words()`` so blank <=> zero words."""
+    return c.isNull() | (trim_ws(c) == "")
+
+
 def words(c: Column) -> Column:
-    """Whitespace tokenization of normalized text; [] for null/blank."""
+    """Whitespace tokenization of normalized text; [] for null/blank.
+
+    Tokenizes the FULLY-trimmed (``trim_ws``) lowered text: splitting a
+    space-only-trimmed string on \\s+ emits phantom '' boundary tokens
+    for tab/CRLF-padded input ('\\t' counted TWO words), inflating
+    n_words and every density denominator feeding the rule ladder.
+    """
+    t = trim_ws(c)
     return F.when(
-        c.isNotNull() & (F.trim(c) != ""), F.split(norm_text(c), WS_SPLIT)
+        c.isNotNull() & (t != ""), F.split(F.lower(t), WS_SPLIT)
     ).otherwise(F.array().cast("array<string>"))
 
 

@@ -119,7 +119,7 @@ def metadata_rule_hits(df: DataFrame, cfg: RuleConfig) -> dict[str, Column]:
             | F.col("fmt").isNull()
             | ~F.col("fmt").isin("png", "jpeg")
         ),
-        "empty_caption": cap.isNull() | (F.trim(cap) == ""),
+        "empty_caption": TX.is_blank(cap),
         "caption_too_short": nw < cfg.min_words,
         "caption_too_long": nw > cfg.max_words,
         "repetition": rep >= cfg.max_repetition,

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..fixtures.norm_tables import PII_PATTERNS, TOXICITY_TERMS
+from ..functions.text import trim_ws
 
 TOX_REPLACEMENT = "<TOX>"
 
@@ -46,13 +47,16 @@ def pii_only_hit(cap: Column) -> Column:
     residue = F.regexp_replace(
         scrubbed_caption(cap), r"<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>", ""
     )
-    return cap.isNotNull() & (F.trim(cap) != "") & (F.trim(residue) == "")
+    # trim_ws on both gates: ASCII-whitespace semantics, aligned with
+    # words()/is_blank (a CRLF-padded caption must behave like its
+    # space-padded twin in every mirror)
+    return cap.isNotNull() & (trim_ws(cap) != "") & (trim_ws(residue) == "")
 
 
 def pii_only_from_scrubbed(cap: Column, scrubbed: Column) -> Column:
     """pii_only_hit over a pre-computed scrubbed column (no re-scrub)."""
     residue = F.regexp_replace(scrubbed, r"<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>", "")
-    return cap.isNotNull() & (F.trim(cap) != "") & (F.trim(residue) == "")
+    return cap.isNotNull() & (trim_ws(cap) != "") & (trim_ws(residue) == "")
 
 
 def with_scrub(df: DataFrame, caption_col: str = "caption") -> DataFrame:

@@ -20,16 +20,19 @@ import pandas as pd
 from ..fixtures.norm_tables import ALL_STOPWORDS, LANGS, PII_PATTERNS, STOPWORDS, TOXICITY_TERMS
 from ..operators.rules import RULE_DECISION, RULE_PRIORITY, RULE_SEVERITY, RuleConfig
 
-_SYMBOL_RE = re.compile(r"[^A-Za-z0-9\s]")
-_WS_RE = re.compile(r"\s+")
+# re.ASCII pins \s to Java's ASCII set (Python's default \s also
+# matches \xa0 etc., which the Catalyst mirror does not)
+_ASCII_WS = " \t\n\x0b\x0c\r"
+_SYMBOL_RE = re.compile(r"[^A-Za-z0-9\s]", re.ASCII)
+_WS_RE = re.compile(r"\s+", re.ASCII)
 _TOX_RE = re.compile(r"\b(" + "|".join(re.escape(t) for t, _ in TOXICITY_TERMS) + r")\b")
 _PLACEHOLDER_RE = re.compile(r"<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>")
 
 
 def _words(cap: str | None) -> list[str]:
-    if cap is None or not cap.strip():
+    if cap is None or not cap.strip(_ASCII_WS):
         return []
-    return _WS_RE.split(cap.strip().lower())
+    return _WS_RE.split(cap.strip(_ASCII_WS).lower())
 
 
 def _symbol_ratio(cap: str | None) -> float:
@@ -215,7 +218,7 @@ def run_oracle(
         nw = len(w)
         lang, conf = _langid_markers(cap)
         scrubbed = _scrub(cap)
-        residue = _PLACEHOLDER_RE.sub("", scrubbed or "").strip()
+        residue = _PLACEHOLDER_RE.sub("", scrubbed or "").strip(_ASCII_WS)
 
         in_nd = r.image_id in nd_map.index
         is_rep = bool(nd_map.loc[r.image_id, "is_cluster_rep"]) if in_nd else True
@@ -232,7 +235,7 @@ def run_oracle(
                 or r.fmt not in ("png", "jpeg")
                 or (use_decode and not _decode_ok(r))
             ),
-            "empty_caption": cap is None or not cap.strip(),
+            "empty_caption": cap is None or not cap.strip(_ASCII_WS),
             "caption_too_short": nw < cfg.min_words,
             "caption_too_long": nw > cfg.max_words,
             "repetition": (1 - len(set(w)) / nw if nw else 0.0) >= cfg.max_repetition,
@@ -240,7 +243,7 @@ def run_oracle(
             "low_stopword_density": nw >= cfg.stopword_rule_min_words
             and (sum(1 for x in w if x in sw) / nw) < cfg.min_stopword_density,
             "pii_only_after_scrub": cap is not None
-            and bool(cap.strip())
+            and bool(cap.strip(_ASCII_WS))
             and not residue,
             "langid_undetermined": lang == "und",
             "high_perplexity": False,  # marker path has no ppl signal

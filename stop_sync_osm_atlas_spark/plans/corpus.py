@@ -35,7 +35,7 @@ from pyspark.sql import Window as W
 
 from ..functions.langid import langid_hashed_ngram_udf
 from ..functions.perplexity import perplexity_udf
-from ..functions.text import n_words
+from ..functions.text import is_blank, n_words
 from ..functions.training import train_models_fused
 from ..operators.dedup import minhash_lsh_pairs
 from ..operators.lines import clean_lines
@@ -146,7 +146,7 @@ def prepare_corpus(
             | (F.col("dup_line_char_frac") > F.lit(max_dup_line_char_frac)),
             F.lit("high_line_repetition"),
         )
-        .when(F.trim(F.col("text_clean")) == "", F.lit("empty"))
+        .when(is_blank(F.col("text_clean")), F.lit("empty"))
         .when(F.col("n_tok") < min_words, F.lit("too_short"))
         .when(F.col("_ppl") > ppl_threshold, F.lit("high_perplexity"))
         .when(F.col("_lid.lang") != F.col("lang"), F.lit("langid_mismatch"))

@@ -131,3 +131,52 @@ def test_disabled_rules_match_oracle(spark, fixture_1k, fixture_paths, nd_kwargs
         assert (eng.loc[sym_rows, col] == orc.loc[sym_rows, col]).all(), col
     assert (eng["rule"] == orc["rule"]).all()
     assert (eng["decision"] == orc["decision"]).all()
+
+
+def test_whitespace_semantics_aligned_across_mirrors(spark):
+    """The four mirrors of the text-signal stack — Catalyst
+    (functions/text), the fused Arrow pass (functions/image
+    _text_signals), and the pandas oracle (oracle/oracle._words) — must
+    agree on exotic-whitespace captions: tab/CRLF padding (phantom ''
+    tokens under the old space-only trim), NBSP (unicode-\\s in Python
+    but never in Java/RE2), and whitespace-only strings. DuckDB is
+    covered by the driver gate via _sql_words/_WS."""
+    from stop_sync_osm_atlas_spark.functions import text as TX
+    from stop_sync_osm_atlas_spark.functions.image import _text_signals
+    from stop_sync_osm_atlas_spark.oracle.oracle import _words
+    from stop_sync_osm_atlas_spark.operators.scrub import pii_only_hit
+
+    cases = [
+        None,
+        "",
+        " ",
+        "\t",
+        "\r\n",
+        "\thello world\t",
+        " hello  world ",
+        "a b ",
+        "\r\nthe cat\r\nsat down\r\n",
+        "caf\xa0au lait",   # NBSP: one token boundary in NO mirror
+        "\xa0",              # NBSP-only: NOT blank in any mirror
+        "the the the",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["cap"])
+    got = df.select(
+        "cap",
+        TX.words(F.col("cap")).alias("w"),
+        TX.n_words(F.col("cap")).alias("nw"),
+        TX.is_blank(F.col("cap")).alias("blank"),
+        pii_only_hit(F.col("cap")).alias("pii_only"),
+    ).collect()
+    by_cap = {r.cap: r for r in got}
+    for cap in cases:
+        r = by_cap[cap]
+        exp_words = _words(cap)
+        assert r.w == exp_words, (cap, r.w, exp_words)
+        assert r.nw == len(exp_words), (cap, r.nw)
+        fused = _text_signals(cap)
+        assert fused[0] == len(exp_words), (cap, "fused n_words", fused[0])
+        # blank <=> zero words, and never any phantom '' token
+        assert r.blank == (len(exp_words) == 0), (cap, r.blank)
+        assert "" not in exp_words and "" not in (r.w or [])
+        assert not r.pii_only  # none of these are placeholder-only

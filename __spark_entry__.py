@@ -418,9 +418,16 @@ def q19_sessionize(spark, sf):
     counters are monotone and updated together."""
     e = _t(spark, sf, "events")
     win = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(win)
+    # unix_micros, not unix_timestamp: integer-truncated seconds disagree
+    # with the stream arm and the oracle's fractional epoch on sub-second
+    # gaps at the 1800 s boundary; all three mirrors now compare exact
+    # integer microseconds
+    # fixtures carry TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # ltz cast is value-preserving and unix_micros mirrors epoch_us
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = ts_us - F.lag(ts_us).over(win)
     marked = e.withColumn(
-        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        "new_sess", F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     )
     batch = (
         marked.groupBy("user_id")
@@ -1993,8 +2000,8 @@ SELECT p_partkey, parts.brand_norm, n_same FROM parts JOIN counts USING (brand_n
 WITH sess AS (
   SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
     SELECT user_id,
-      CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-           OR lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+           OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
            THEN 1 ELSE 0 END AS new_sess
     FROM events
   ) GROUP BY user_id
@@ -2187,6 +2194,9 @@ WITH toks AS (
 ), tot AS (
   SELECT lang, CAST(sum(tok) AS BIGINT) AS tokens FROM toks GROUP BY lang
 ), rates AS (
+  -- t.tokens > 0 mirrors mixture_rates' zero-token-domain guard: DuckDB
+  -- x/0 is NULL and least(3.0, NULL) IGNORES the null (the same trap as
+  -- Spark's least()), which would hand an all-empty domain the CAP rate
   SELECT t.lang,
     CAST(floor(least(3.0, 40000.0 * w.w / t.tokens)) AS BIGINT) AS n_full,
     CAST(floor((least(3.0, 40000.0 * w.w / t.tokens)
@@ -2194,6 +2204,7 @@ WITH toks AS (
   FROM tot t
   JOIN (VALUES ('en', 0.25), ('de', 0.2), ('fr', 0.2), ('zh', 0.35)) AS w(lang, w)
     ON w.lang = t.lang
+  WHERE t.tokens > 0
 ), mix AS (
   SELECT d.doc_id, d.lang,
     r.n_full + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -2238,10 +2249,10 @@ UNION ALL
 SELECT p_type, p_partkey, 'tiebreak' FROM cand
 WHERE n_cand > 1 AND n_tie = 1 AND p_brand = 'Brand#11'
 """,
-        "q37_token_match": """
+        "q37_token_match": f"""
 WITH dim(token, prio, lang) AS (VALUES ('der', 1, 'de'), ('die', 1, 'de'), ('das', 1, 'de'), ('und', 1, 'de'), ('ein', 1, 'de'), ('mit', 1, 'de'), ('auf', 1, 'de'), ('ist', 1, 'de'), ('von', 1, 'de'), ('zu', 1, 'de'), ('the', 2, 'en'), ('and', 2, 'en'), ('of', 2, 'en'), ('to', 2, 'en'), ('a', 2, 'en'), ('in', 2, 'en'), ('is', 2, 'en'), ('with', 2, 'en'), ('on', 2, 'en'), ('for', 2, 'en'), ('le', 3, 'fr'), ('la', 3, 'fr'), ('les', 3, 'fr'), ('et', 3, 'fr'), ('un', 3, 'fr'), ('une', 3, 'fr'), ('dans', 3, 'fr'), ('est', 3, 'fr'), ('avec', 3, 'fr'), ('sur', 3, 'fr'), ('il', 4, 'it'), ('la', 4, 'it'), ('di', 4, 'it'), ('e', 4, 'it'), ('un', 4, 'it'), ('una', 4, 'it'), ('con', 4, 'it'), ('per', 4, 'it'), ('sono', 4, 'it'), ('del', 4, 'it')),
 toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '\\s+'))) AS token
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text, {_WS})), '\\s+'))) AS token
   FROM documents
 )
 SELECT doc_id, min(prio) AS best_prio, count(*) AS n_matched_tokens

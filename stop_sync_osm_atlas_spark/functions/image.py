@@ -214,14 +214,18 @@ def _decode_png_ex(
     seed: int | None = None
     try:
         ihdr = None
-        idat = b""
+        # list + join, not bytes +=: appending reallocates the whole
+        # accumulated buffer per chunk, so a stream split into minimal
+        # IDAT chunks costs O(S^2) byte copies — a CPU bomb that the
+        # allocation guards below never see
+        idat_parts: list[bytes] = []
         for tag, data in _png_chunks(b):
             if tag == b"IHDR":
                 if ihdr is not None or len(data) != 13:
                     return None, 0, 0, None, "png_bad_structure"
                 ihdr = struct.unpack(">IIBBBBB", data)
             elif tag == b"IDAT":
-                idat += data
+                idat_parts.append(data)
             elif tag == b"tEXt" and data.startswith(b"seed\x00"):
                 try:
                     seed = int(data[5:])
@@ -244,7 +248,7 @@ def _decode_png_ex(
     # budget + 1 byte, whatever the deflate stream claims to hold
     d = zlib.decompressobj()
     try:
-        raw = d.decompress(idat, expected + 1)
+        raw = d.decompress(b"".join(idat_parts), expected + 1)
     except zlib.error:
         return None, w, h, seed, "png_inflate_error"
     if len(raw) != expected or not d.eof:
@@ -433,8 +437,8 @@ import re as _re
 
 from ..fixtures.norm_tables import ALL_STOPWORDS as _SW_ALL
 from ..fixtures.norm_tables import STOPWORDS as _SW_BY_LANG
+from .text import ASCII_WS as _ASCII_WS
 
-_ASCII_WS = " \t\n\x0b\x0c\r"  # Java \s, exactly
 _WS_RE = _re.compile(r"\s+", _re.ASCII)
 _SYMBOL_RE = _re.compile(r"[^A-Za-z0-9\s]", _re.ASCII)
 _PLACEHOLDER_RE = _re.compile(r"<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>")

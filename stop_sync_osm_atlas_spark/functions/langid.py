@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..fixtures.norm_tables import LANGS, STOPWORDS
+from .text import ASCII_WS as _ASCII_WS
 from .text import words
 
 HASH_DIM = 2048
@@ -60,9 +61,6 @@ def langid_marker_cols(c: Column) -> tuple[Column, Column]:
 # ---------------------------------------------------------------------------
 # Hashed n-gram Naive Bayes (fastText-style)
 # ---------------------------------------------------------------------------
-
-
-_ASCII_WS = " \t\n\x0b\x0c\r"  # ASCII strip, matching the SQL oracle's _WS trim charset
 
 
 def _char_ngrams(s: str) -> list[str]:

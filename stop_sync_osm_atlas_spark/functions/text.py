@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 # so Java regex (Spark), RE2 (DuckDB) and Python re agree byte-for-byte.
 SYMBOL_CLASS = r"[^A-Za-z0-9\s]"
 WS_SPLIT = r"\s+"
+# Java's \s, exactly — the canonical ASCII-whitespace charset every
+# Python-side mirror strips (see trim_ws below); the DuckDB twin is the
+# _WS chr()-list in __spark_entry__.py
+ASCII_WS = " \t\n\x0b\x0c\r"
 
 
 def norm_text(c: Column) -> Column:

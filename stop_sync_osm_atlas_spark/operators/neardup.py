@@ -217,6 +217,12 @@ def _components_banded(
     from math import comb
 
     n = len(phashes)
+    if radius >= 64:
+        # every pair of 64-bit hashes is within radius: one component.
+        # (Without this the band search below has no b > radius and
+        # raised StopIteration from inside the applyInPandas worker.)
+        parent_all = np.zeros(n, dtype=np.int64)
+        return parent_all, n > 1
     n_bands = next(b for b in (4, 8, 16, 32, 64) if b > radius)
     band_width = 64 // n_bands
     c = n_bands - radius

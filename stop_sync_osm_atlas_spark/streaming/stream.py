@@ -187,6 +187,12 @@ def stream_sessionize(
     same total order as the batch window spec, so a single-batch run
     reproduces q19's counts exactly (tested) and a multi-batch run is
     the incremental continuation.
+
+    Gap arithmetic is INTEGER MICROSECONDS (pandas .value // 1000) so
+    all three q19 mirrors agree exactly: the batch arm uses
+    unix_micros(ts) and the DuckDB oracle epoch_us(ts). Float seconds
+    (t.timestamp()) vs the batch arm's old truncating unix_timestamp
+    disagreed on fractional gaps at the 1800 s boundary.
     """
     import pandas as _pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -200,13 +206,14 @@ def stream_sessionize(
             last_ts, n_sess, n_ev = None, 0, 0
         chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
         allof = _pd.concat(chunks).sort_values(["ts", "event_id"])
+        gap_us = gap_s * 1_000_000
         for t in allof["ts"]:
-            ts_s = t.timestamp()
-            if last_ts is None or ts_s - last_ts > gap_s:
+            ts_us = t.value // 1000  # ns -> us, exact integer
+            if last_ts is None or ts_us - last_ts > gap_us:
                 n_sess += 1
-            last_ts = ts_s
+            last_ts = ts_us
             n_ev += 1
-        state.update((float(last_ts), int(n_sess), int(n_ev)))
+        state.update((int(last_ts), int(n_sess), int(n_ev)))
         yield _pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
         )
@@ -214,7 +221,7 @@ def stream_sessionize(
     return events.groupBy("user_id").applyInPandasWithState(
         _fn,
         outputStructType="user_id long, n_sessions long, n_events long",
-        stateStructType="last_ts double, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

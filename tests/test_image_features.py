@@ -362,3 +362,41 @@ def test_audio_features(spark):
     assert 0 < out.loc["a1", "zero_cross_rate"] < 1
     assert out.loc["a2", "n_windows"] == 1
     assert not out.loc["bad", "ok"]
+
+
+def test_png_multi_idat_chunks_decode():
+    """IDAT split across many chunks must decode identically to the
+    single-chunk stream (the spec allows any split). The accumulator is
+    a list+join, not bytes+= — a stream shredded into minimal chunks
+    was an O(S^2) CPU bomb under the old concatenation."""
+    import struct
+    import zlib
+
+    from stop_sync_osm_atlas_spark.functions.image import (
+        PNG_SIG,
+        _png_chunk,
+        decode_image,
+        encode_png,
+        synth_pixels,
+    )
+
+    truth = synth_pixels(42, 16, 16)
+    single = encode_png(truth, seed=42)
+    # re-shred: same IHDR/tEXt, IDAT re-emitted in 7-byte slivers
+    pos, parts, idat = len(PNG_SIG), [], b""
+    while pos < len(single):
+        (length,) = struct.unpack(">I", single[pos : pos + 4])
+        tag = single[pos + 4 : pos + 8]
+        data = single[pos + 8 : pos + 8 + length]
+        if tag == b"IDAT":
+            idat += data
+        elif tag != b"IEND":
+            parts.append(_png_chunk(tag, data))
+        pos += 12 + length
+    shredded = PNG_SIG + b"".join(parts)
+    for i in range(0, len(idat), 7):
+        shredded += _png_chunk(b"IDAT", idat[i : i + 7])
+    shredded += _png_chunk(b"IEND", b"")
+    px, w, h, fmt, err = decode_image(shredded)
+    assert err is None and (w, h, fmt) == (16, 16, "png")
+    assert (px == truth).all()

@@ -450,3 +450,23 @@ def test_bands_salt_knob_validation_is_eager():
         _band_bucket_pairs(None, bits=16, radius=2, max_salt=0)
     with pytest.raises(ValueError, match="salt_rows"):
         _band_bucket_pairs(None, bits=16, radius=2, salt_rows=0)
+
+
+def test_components_banded_radius_at_or_above_64():
+    """radius >= 64 on 64-bit hashes means EVERY pair is within radius:
+    one component, not a StopIteration escaping the applyInPandas
+    worker from the exhausted band-width search."""
+    import numpy as np
+
+    from stop_sync_osm_atlas_spark.operators.neardup import (
+        _components,
+        _components_banded,
+    )
+
+    hashes = np.array([0, (1 << 64) - 1, 12345, 1 << 63], dtype=np.uint64)
+    roots, merged = _components_banded(hashes, radius=64)
+    assert merged and len(set(roots.tolist())) == 1
+    roots_direct, merged_direct = _components(hashes, 64)
+    assert merged_direct and len(set(int(r) for r in roots_direct)) == 1
+    one, m1 = _components_banded(np.array([7], dtype=np.uint64), radius=64)
+    assert not m1 and list(one) == [0]

@@ -145,7 +145,33 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
 
     src = "/root/testdata/sf0.001/events.parquet"
     d = str(tmp_path / "events_in")
-    spark.read.parquet(src).write.parquet(d)
+    ev_in = spark.read.parquet(src)
+    # plant two fractional-gap users at the 1800 s boundary: gap
+    # 1800.000001 s (opens a session) and exactly 1800.0 s (does not).
+    # Truncating seconds (the old unix_timestamp batch arm) calls both
+    # 1800; the integer-microsecond arithmetic all mirrors now share
+    # must separate them identically in batch and stream.
+    import pandas as _pd
+
+    base = _pd.Timestamp("2024-01-01 00:00:00.250000")
+    planted = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "event_id": [900001, 900002, 900003, 900004],
+                "user_id": [990001, 990001, 990002, 990002],
+                "ts": [
+                    base,
+                    base + _pd.Timedelta(microseconds=1_800_000_001),
+                    base,
+                    base + _pd.Timedelta(microseconds=1_800_000_000),
+                ],
+            }
+        )
+    ).select(*[c for c in ["event_id", "user_id", "ts"] ])
+    for c in ev_in.columns:
+        if c not in planted.columns:
+            planted = planted.withColumn(c, F.lit(None).cast(ev_in.schema[c].dataType))
+    ev_in.unionByName(planted.select(ev_in.columns)).write.parquet(d)
 
     q = (
         stream_sessionize(spark, d)
@@ -158,13 +184,14 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT * FROM sess_stream").toPandas().set_index("user_id")
 
-    ev = spark.read.parquet(src)
+    ev = spark.read.parquet(d)
     win = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(win))
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap = ts_us - F.lag(ts_us).over(win)
     batch = (
         ev.withColumn(
             "new_sess",
-            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
         )
         .groupBy("user_id")
         .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
@@ -174,6 +201,9 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert len(got) == len(batch)
     assert (got["n_sessions"].sort_index() == batch["n_sessions"].sort_index()).all()
     assert (got["n_events"].sort_index() == batch["n_events"].sort_index()).all()
+    # the planted boundary users resolved the same way in both engines
+    assert got.loc[990001, "n_sessions"] == 2  # 1800.000001 s gap
+    assert got.loc[990002, "n_sessions"] == 1  # exactly 1800.0 s gap
     shutil.rmtree(d)
 
 

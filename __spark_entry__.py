@@ -1151,7 +1151,7 @@ WITH base AS (
 ls_form AS (
   SELECT doc_id, form, count(*) AS c, length(form) AS len
   FROM (
-    SELECT doc_id, lower(trim(line)) AS form
+    SELECT doc_id, lower(trim(line, {_WS})) AS form
     FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
           FROM documents)
   ) WHERE form <> ''
@@ -1524,7 +1524,7 @@ WITH dl AS (
 ),
 lrow AS (
   SELECT doc_id, pos, ls[CAST(pos AS INT)] AS line,
-         lower(trim(ls[CAST(pos AS INT)])) AS form
+         lower(trim(ls[CAST(pos AS INT)], {_WS})) AS form
   FROM (SELECT doc_id, unnest(range(1, len(ls)+1)) AS pos, ls FROM dl)
 ),
 firsts AS (
@@ -1665,7 +1665,7 @@ ct AS (
 )
 SELECT p.doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
   (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed,
-  md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 64)) AS fp,
+  md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '\\s+', ' ', 'g'), 1, 64)) AS fp,
   coalesce(ct.n_shingles, 0) AS n_shingles,
   coalesce(ct.n_contaminated, 0) AS n_contaminated,
   round(coalesce(ct.n_contaminated * 1.0 / ct.n_shingles, 0.0), 6) AS overlap_frac
@@ -2011,14 +2011,14 @@ UNION ALL
 SELECT user_id, n_sessions, n_events, 'stream' AS mode FROM sess
 """,
         "q20_doc_stats": _oracle_q20(),
-        "q21_exact_dedup": """
+        "q21_exact_dedup": f"""
 WITH fp10k AS (
   SELECT doc_id,
-    md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 10000)) AS fp
+    md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '\\s+', ' ', 'g'), 1, 10000)) AS fp
   FROM documents
 ), fp48 AS (
   SELECT doc_id,
-    md5(substr(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'), 1, 48)) AS fp
+    md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '\\s+', ' ', 'g'), 1, 48)) AS fp
   FROM documents
 )
 SELECT doc_id, fp,
@@ -2281,7 +2281,7 @@ FROM events GROUP BY event_type
 """,
         # streaming dedup batch equivalence: the surviving-fingerprint
         # SET equals the batch dedup's distinct fingerprints
-        "q53_stream_dedup": """
+        "q53_stream_dedup": f"""
 WITH pairs AS (
   SELECT CASE WHEN doc_id % 10 = 0
               THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
@@ -2289,7 +2289,7 @@ WITH pairs AS (
   FROM documents
 )
 SELECT DISTINCT
-  md5(substr(regexp_replace(lower(trim(coalesce(caption, ''))), '\\s+', ' ', 'g'), 1, 10000)) AS fp
+  md5(substr(regexp_replace(lower(trim(coalesce(caption, ''), {_WS})), '\\s+', ' ', 'g'), 1, 10000)) AS fp
 FROM pairs
 """,
         # same planted ground truth as q24 — the bands bridge must

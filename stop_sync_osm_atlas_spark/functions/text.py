@@ -148,7 +148,10 @@ def fingerprint(c: Column, prefix_len: int | None = 64) -> Column:
     grouping; the analog of the reference's duplicate key
     ``(number, designation)`` (reference matching_script.py:221-242).
     """
-    norm = F.regexp_replace(norm_text(F.coalesce(c, F.lit(""))), WS_SPLIT, " ")
+    # trim_ws, not norm_text: under space-only trim a leading tab became
+    # a leading SPACE after the \s+ collapse, so text differing from its
+    # twin only by tab/CRLF padding fingerprinted differently
+    norm = F.regexp_replace(F.lower(trim_ws(c)), WS_SPLIT, " ")
     if prefix_len is not None:
         norm = F.substring(norm, 1, prefix_len)
     return F.md5(norm)

@@ -9,7 +9,9 @@ deterministic Spark formulation.
 
 Contract (deterministic, order-preserving):
 1. Split text on newlines; a line's identity is its normalized form
-   (lower + trim — ``functions.text.norm_text``).
+   (lower + full ASCII-whitespace trim — ``functions.text.trim_ws`` —
+   so a tab-padded boilerplate line and its space-padded twin collapse
+   to ONE form; web nav/footer lines arrive with every padding).
 2. WITHIN a document: keep only the FIRST occurrence of each normalized
    line (by line position).
 3. ACROSS the corpus: drop every line whose normalized form occurs in
@@ -37,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.text import norm_text
+from ..functions.text import trim_ws
 
 
 def line_stats(
@@ -67,7 +69,7 @@ def line_stats(
                 F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
             ).alias("line"),
         )
-        .withColumn("form", norm_text(F.col("line")))
+        .withColumn("form", F.lower(trim_ws(F.col("line"))))
         .where(F.col("form") != "")
     )
     per_form = lines.groupBy("id", "form").agg(
@@ -125,7 +127,7 @@ def clean_lines(
         F.col(id_col).alias("id"),
         F.size(split_c).alias("n_in"),
         F.posexplode(split_c).alias("pos", "line"),
-    ).withColumn("form", norm_text(F.col("line")))
+    ).withColumn("form", F.lower(trim_ws(F.col("line"))))
 
     # within-doc first occurrence (step 2). When stats ride along, the
     # per-(doc, form) occurrence count uses the SAME partition+order

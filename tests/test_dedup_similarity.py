@@ -368,8 +368,12 @@ def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     from collections import Counter
 
     rng = np.random.default_rng(seed)
+    # " spaced " vs "\t spaced \t": collide into ONE form only under the
+    # full ASCII-ws trim (space-only trim kept the tabs and split them
+    # into different boilerplate classes than this python reference)
     vocab = ["alpha beta", "  Cookie Banner  ", "cookie banner", "x", "",
-             " nav | home ", "unique-%d", "Tail text here", "\t spaced \t"]
+             " nav | home ", "unique-%d", "Tail text here", "\t spaced \t",
+             " spaced "]
     docs = []
     for i in range(120):
         n = int(rng.integers(0, 9))
@@ -381,7 +385,9 @@ def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     max_df = 3
 
     # reference: the documented contract, computed directly
-    norm = lambda s: s.strip().lower()
+    from stop_sync_osm_atlas_spark.functions.text import ASCII_WS
+
+    norm = lambda s: s.strip(ASCII_WS).lower()
     split = {did: t.split("\n") for did, t in docs}
     first = {}
     for did in sorted(split):

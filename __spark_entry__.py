@@ -67,6 +67,96 @@ def _sql_list(xs: list[str]) -> str:
     return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
 
 
+def _ngram_ctes(
+    src: str,
+    top_ns: tuple[int, ...],
+    dup_ns: tuple[int, ...],
+    tag: str = "ng",
+) -> tuple[str, str]:
+    """CTE chain re-deriving operators/lines.ngram_stats over a source
+    CTE with (doc_id, text): -> (ctes_sql, final_cte_name). The final
+    CTE carries doc_id + the engine's exact column names, one row per
+    source doc (token-less docs report 0.0). Mirrors the engine
+    contract: 1-gram stream supplies norm_len, tail grams without a
+    full lead window are excluded, fractions capped at 1.0, round 6."""
+    all_ns = sorted(set(top_ns) | set(dup_ns) | {1})
+    max_n = max(all_ns)
+    leads = ",\n    ".join(
+        [f"lead(tok, {k}) OVER w AS l{k}" for k in range(1, max_n)]
+        # max n = 1 still needs a syntactically valid (if unused) window
+        or ["lead(tok, 1) OVER w AS l1"]
+    )
+    gram_selects = []
+    for n in all_ns:
+        parts = " || ' ' || ".join(
+            ["tok"] + [f"l{k}" for k in range(1, n)]
+        )
+        guard = f" WHERE l{n - 1} IS NOT NULL" if n > 1 else ""
+        gram_selects.append(
+            f"SELECT doc_id, {n} AS n, {parts} AS gram FROM {tag}_led{guard}"
+        )
+    grams = "\n  UNION ALL\n  ".join(gram_selects)
+    pivot = ",\n    ".join(
+        [
+            f"max(CASE WHEN n = {n} THEN top_w END) AS t{n}"
+            for n in top_ns
+        ]
+        + [
+            f"max(CASE WHEN n = {n} THEN dup_w END) AS d{n}"
+            for n in dup_ns
+        ]
+        + [
+            "max(CASE WHEN n = 1 THEN all_w END)"
+            " + max(CASE WHEN n = 1 THEN n_occ END) - 1 AS nl"
+        ]
+    )
+    fracs = ",\n    ".join(
+        [
+            f"round(least(1.0, coalesce(t{n} * 1.0 / nl, 0.0)), 6)"
+            f" AS top_{n}gram_char_frac"
+            for n in top_ns
+        ]
+        + [
+            f"round(least(1.0, coalesce(d{n} * 1.0 / nl, 0.0)), 6)"
+            f" AS dup_{n}gram_char_frac"
+            for n in dup_ns
+        ]
+    )
+    ctes = f"""{tag}_tok AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  FROM (SELECT doc_id, {_sql_words('text')} AS l FROM {src})
+),
+{tag}_led AS (
+  SELECT doc_id, tok,
+    {leads}
+  FROM {tag}_tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+{tag}_grams AS (
+  {grams}
+),
+{tag}_pern AS (
+  SELECT doc_id, n,
+    max(c * length(gram)) AS top_w,
+    sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_w,
+    sum(c * length(gram)) AS all_w,
+    sum(c) AS n_occ
+  FROM (SELECT doc_id, n, gram, count(*) AS c
+        FROM {tag}_grams GROUP BY doc_id, n, gram)
+  GROUP BY doc_id, n
+),
+{tag}_doc AS (
+  SELECT doc_id,
+    {pivot}
+  FROM {tag}_pern GROUP BY doc_id
+),
+{tag} AS (
+  SELECT s.doc_id,
+    {fracs}
+  FROM {src} s LEFT JOIN {tag}_doc USING (doc_id)
+)"""
+    return ctes, tag
+
+
 def _sql_symbol_ratio(col: str) -> str:
     nospace = f"regexp_replace(coalesce({col}, ''), '\\s+', '', 'g')"
     clean = f"regexp_replace({nospace}, '[^A-Za-z0-9\\s]', '', 'g')"
@@ -136,8 +226,9 @@ def q02_corpus_prep(spark, sf):
     """The composed LLM-corpus preparation pipeline graded END-TO-END
     (plans/corpus.prepare_corpus), BOTH output frames in one union:
     mode='decision' = line cleaning -> exact dedup -> MinHash-LSH
-    near-dedup -> Gopher line-repetition gate -> fused-trained
-    quality-model ladder, one row per input doc; mode='bin' = the
+    near-dedup -> Gopher line-repetition gate -> length gates ->
+    word-n-gram repetition gate -> fused-trained quality-model
+    ladder, one row per input doc; mode='bin' = the
     SAME run's packed training bins over the kept docs (the artifact a
     trainer actually consumes). The oracle (_oracle_q02) re-derives
     every stage in SQL, including BOTH trained models with the
@@ -574,8 +665,10 @@ def q20_doc_stats(spark, sf):
     """Text-statistic rules as grouped aggregates (token counting,
     symbol ratio, stopword density — SURVEY §2.9 heuristics), plus
     (r4) Gopher-style within-doc line-repetition signals
-    (operators/lines.line_stats) averaged per lang."""
-    from stop_sync_osm_atlas_spark.operators.lines import line_stats
+    (operators/lines.line_stats) and (r5) word-n-gram repetition
+    signals (operators/lines.ngram_stats: top-2/3-gram and dup-5/10-gram
+    character fractions) averaged per lang."""
+    from stop_sync_osm_atlas_spark.operators.lines import line_stats, ngram_stats
 
     d = _t(spark, sf, "documents")
     cap = F.col("text")
@@ -597,7 +690,23 @@ def q20_doc_stats(spark, sf):
             ),
         )
     )
-    return base.join(rep, "lang")
+    ng = (
+        ngram_stats(d, top_ns=(2, 3), dup_ns=(5, 10))
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            *[
+                F.round(F.avg(c), 6).alias(f"avg_{c}")
+                for c in (
+                    "top_2gram_char_frac",
+                    "top_3gram_char_frac",
+                    "dup_5gram_char_frac",
+                    "dup_10gram_char_frac",
+                )
+            ]
+        )
+    )
+    return base.join(rep, "lang").join(ng, "lang")
 
 
 def q21_exact_dedup(spark, sf):
@@ -1173,9 +1282,20 @@ rep AS (
     round(avg(dup_line_frac), 6) AS avg_dup_line_frac,
     round(avg(dup_line_char_frac), 6) AS avg_dup_line_char_frac
   FROM ls GROUP BY lang
+),
+{_ngram_ctes('documents', (2, 3), (5, 10))[0]},
+ngl AS (
+  SELECT d.lang,
+    round(avg(top_2gram_char_frac), 6) AS avg_top_2gram_char_frac,
+    round(avg(top_3gram_char_frac), 6) AS avg_top_3gram_char_frac,
+    round(avg(dup_5gram_char_frac), 6) AS avg_dup_5gram_char_frac,
+    round(avg(dup_10gram_char_frac), 6) AS avg_dup_10gram_char_frac
+  FROM ng JOIN documents d USING (doc_id) GROUP BY d.lang
 )
-SELECT base.*, rep.avg_dup_line_frac, rep.avg_dup_line_char_frac
-FROM base JOIN rep USING (lang)
+SELECT base.*, rep.avg_dup_line_frac, rep.avg_dup_line_char_frac,
+  ngl.avg_top_2gram_char_frac, ngl.avg_top_3gram_char_frac,
+  ngl.avg_dup_5gram_char_frac, ngl.avg_dup_10gram_char_frac
+FROM base JOIN rep USING (lang) JOIN ngl USING (lang)
 """
 
 
@@ -1512,10 +1632,13 @@ def _oracle_q02() -> str:
     cleaned text (md5, min doc_id survives) -> MinHash-LSH near-dedup
     over the survivors (threshold 0.5; pair losers = larger doc_id) ->
     Gopher line-repetition gate (line_stats fracs over the RAW lines,
-    >0.30 dup lines or >0.20 dup chars) -> BOTH quality models trained
-    on the survivors and scored over every doc -> the
-    first-matching-reason ladder -> the global packing window over the
-    kept docs (mode='bin' rows, budget 512)."""
+    >0.30 dup lines or >0.20 dup chars) -> length gates -> word-n-gram
+    repetition gate (ngram_stats over the CLEANED text, top-2-gram
+    > 0.20 or dup-5-gram > 0.15, AFTER empty/too_short: top-gram
+    fractions are trivially large on tiny docs) -> BOTH quality models
+    trained on the survivors and scored
+    over every doc -> the first-matching-reason ladder -> the global
+    packing window over the kept docs (mode='bin' rows, budget 512)."""
     words = _sql_words("c.text")
     return f"""
 WITH dl AS (
@@ -1560,6 +1683,7 @@ surv AS (
 ),
 {_minhash_pair_ctes('surv', 0.5)[0]},
 near AS (SELECT DISTINCT b_id AS doc_id FROM mh_pairs),
+{_ngram_ctes('clean', (2,), (5,), tag='ngr')[0]},
 lsf AS (
   SELECT doc_id, form, count(*) AS c, length(form) AS len
   FROM lrow WHERE form <> '' GROUP BY doc_id, form
@@ -1577,6 +1701,8 @@ sig0 AS (
     (round(coalesce(l.dups * 1.0 / l.n_l, 0.0), 6) > 0.30
      OR round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) > 0.20)
       AS is_rep,
+    (g.top_2gram_char_frac > 0.20 OR g.dup_5gram_char_frac > 0.15)
+      AS is_ngram_rep,
     (trim(c.text, {_WS}) = '') AS is_empty,
     CAST(len({words}) AS INT) AS n_tok,
     s.ppl,
@@ -1585,6 +1711,7 @@ sig0 AS (
   JOIN fpr USING (doc_id)
   LEFT JOIN near n ON n.doc_id = c.doc_id
   LEFT JOIN lsd l ON l.doc_id = c.doc_id
+  JOIN ngr g ON g.doc_id = c.doc_id
   JOIN prep p USING (doc_id)
   LEFT JOIN ppl_scored s USING (doc_id)
   LEFT JOIN best b USING (doc_id)
@@ -1596,11 +1723,12 @@ dec AS (
          WHEN is_rep THEN 'high_line_repetition'
          WHEN is_empty THEN 'empty'
          WHEN n_tok < 5 THEN 'too_short'
+         WHEN is_ngram_rep THEN 'high_ngram_repetition'
          WHEN ppl > 6.0 THEN 'high_perplexity'
          WHEN pred_lang <> lang THEN 'langid_mismatch'
          ELSE 'keep' END AS reason,
-    CASE WHEN fp_rk > 1 OR is_near OR is_rep OR is_empty OR n_tok < 5
-           OR ppl > 6.0 OR pred_lang <> lang
+    CASE WHEN fp_rk > 1 OR is_near OR is_rep OR is_ngram_rep OR is_empty
+           OR n_tok < 5 OR ppl > 6.0 OR pred_lang <> lang
          THEN 'drop' ELSE 'keep' END AS decision,
     n_tok
   FROM sig0

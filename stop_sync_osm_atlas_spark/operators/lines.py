@@ -39,7 +39,125 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.text import trim_ws
+from ..functions.text import trim_ws, words
+
+
+def ngram_stats(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style word-n-gram repetition signals ->
+    (id_col, top_{n}gram_char_frac ..., dup_{n}gram_char_frac ...).
+
+    The word-level complement of ``line_stats``: line dedup cannot see a
+    phrase looping WITHIN one line ("buy now buy now buy now ..."), the
+    classic SEO-spam shape the MassiveText/Gopher rules drop. Over the
+    whitespace tokens of the normalized text (``functions.text.words`` —
+    lower + full-ASCII trim + \\s+ split, the repo-wide convention):
+
+    top_{n}gram_char_frac = count(most frequent n-gram) * len(gram)
+                            / norm_len           (Gopher: n = 2, 3, 4)
+    dup_{n}gram_char_frac = sum over grams seen >= 2 times of
+                            count * len(gram) / norm_len  (n = 5 .. 10)
+
+    where len(gram) counts the single-space-joined form and norm_len is
+    the length of the whole space-joined token stream (= the fingerprint
+    normalization's length). Overlapping occurrences are NOT
+    de-overlapped (the standard published simplification of Gopher's
+    "taking care not to count characters twice"); fractions are capped
+    at 1.0 and rounded to 6 decimals, matching ``line_stats``'s
+    convention. Documents with no tokens (or fewer than n) report 0.0.
+
+    Scale shape (100 TB): one token explode -> ONE per-doc sort (a
+    single window supplies every lead_k, k < max(ns)) -> |ns|+1 slim
+    (id, n, gram) rows per token -> one count aggregate with map-side
+    combine -> two per-doc reductions -> one join back to the id-only
+    anchor scan (column-pruned; docs with no tokens coalesce to 0.0).
+    The 1-gram stream rides along so norm_len (sum of token chars +
+    separators) falls out of the SAME aggregate — no separate
+    token-stats branch, scan, or extra per-doc shuffle. No UDFs, no
+    higher-order lambdas; gram strings are the only wide shuffle
+    payload, bounded by max(ns) * token length.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns) | {1})
+    if min(all_ns) < 1:
+        raise ValueError("ngram_stats needs n >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    led = toks.select(
+        "id",
+        "tok",
+        *[F.lead("tok", k).over(w).alias(f"_l{k}") for k in range(1, max(all_ns))],
+    )
+    gram_structs = []
+    for n in all_ns:
+        parts = [F.col("tok")] + [F.col(f"_l{k}") for k in range(1, n)]
+        gram = F.concat_ws(" ", *parts)
+        # tail positions lack a full window: concat_ws SKIPS nulls, so an
+        # unguarded tail would emit a shorter (duplicate-inflating) gram
+        valid = F.col(f"_l{n-1}").isNotNull() if n > 1 else F.lit(True)
+        gram_structs.append(
+            F.struct(
+                F.lit(n).alias("n"), F.when(valid, gram).alias("gram")
+            )
+        )
+    grams = (
+        led.select("id", F.explode(F.array(*gram_structs)).alias("g"))
+        .select("id", "g.n", "g.gram")
+        .where(F.col("gram").isNotNull())
+    )
+    cnt = grams.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
+    per_n = cnt.groupBy("id", "n").agg(
+        F.max(F.col("c") * F.length("gram")).alias("top_w"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_w"),
+        # n=1 feeds norm_len: all-occurrence char mass + token count
+        F.sum(F.col("c") * F.length("gram")).alias("all_w"),
+        F.sum("c").alias("n_occ"),
+    )
+    wide = per_n.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_w"))).alias(f"_t{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_w"))).alias(f"_d{n}")
+            for n in dup_ns
+        ],
+        # norm_len = token chars + (T-1) separators; >= 1 whenever the
+        # doc has any token, so the divisions below can never hit ANSI's
+        # divide-by-zero (token-less docs are absent here and coalesce
+        # to 0.0 after the left join)
+        (
+            F.max(F.when(F.col("n") == 1, F.col("all_w")))
+            + F.max(F.when(F.col("n") == 1, F.col("n_occ")))
+            - 1
+        ).alias("_nl"),
+    )
+    out = docs.select(F.col(id_col).alias("id")).join(wide, "id", "left")
+    frac = lambda c: F.round(  # noqa: E731
+        F.least(F.lit(1.0), F.coalesce(c / F.col("_nl"), F.lit(0.0))), 6
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        *[
+            frac(F.col(f"_t{n}")).alias(f"top_{n}gram_char_frac")
+            for n in top_ns
+        ],
+        *[
+            frac(F.col(f"_d{n}")).alias(f"dup_{n}gram_char_frac")
+            for n in dup_ns
+        ],
+    )
 
 
 def line_stats(

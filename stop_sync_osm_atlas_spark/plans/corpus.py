@@ -38,7 +38,7 @@ from ..functions.perplexity import perplexity_udf
 from ..functions.text import is_blank, n_words
 from ..functions.training import train_models_fused
 from ..operators.dedup import minhash_lsh_pairs
-from ..operators.lines import clean_lines
+from ..operators.lines import clean_lines, ngram_stats
 from ..operators.packing import pack_bins
 
 
@@ -51,6 +51,8 @@ def prepare_corpus(
     pack_shards: int = 1,
     max_dup_line_frac: float = 0.30,
     max_dup_line_char_frac: float = 0.20,
+    max_top_ngram_char_frac: dict[int, float] | None = None,
+    max_dup_ngram_char_frac: dict[int, float] | None = None,
     exact_fp_prefix: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (decisions, bins).
@@ -58,7 +60,8 @@ def prepare_corpus(
     ``decisions``: (doc_id, lang, decision, reason, n_tok) — one row per
     input doc; decision in {keep, drop}; reason is the first matching
     rule (exact_dup / near_dup / high_line_repetition / empty /
-    too_short / high_perplexity / langid_mismatch) or 'keep'.
+    too_short / high_ngram_repetition / high_perplexity /
+    langid_mismatch) or 'keep'.
     ``bins``: pack_bins output over the kept docs.
 
     ``max_dup_line_frac`` / ``max_dup_line_char_frac``: the Gopher /
@@ -73,6 +76,25 @@ def prepare_corpus(
     existing window + rebuild aggregate at zero extra scans. Placed
     before the cleaned-text quality rules: a fully-repetitive doc would
     otherwise collapse under cleaning and misreport as too_short.
+
+    ``max_top_ngram_char_frac`` / ``max_dup_ngram_char_frac``: the
+    word-level Gopher repetition dials ({n: threshold};
+    ``operators/lines.ngram_stats``), defaulting to the published
+    top-2-gram > 0.20 and dup-5-gram > 0.15 rules (pass ``{}`` for both
+    to disable the stage). Unlike the line signals these run on the
+    CLEANED text: line dedup already removed repeated lines, so what
+    the n-gram gate must catch is the phrase looping WITHIN lines
+    ("buy now buy now ...") that survives cleaning — and scoring the
+    cleaned text both reuses the persisted cleaning output (no extra
+    raw-text scan) and judges the text a kept doc would actually ship.
+    Dropped with reason ``high_ngram_repetition``, placed AFTER the
+    empty/too_short gates: a top-gram fraction is trivially large on
+    tiny docs (a 6-token doc's longest unique bigram already exceeds
+    0.20), so — as in Gopher, where the 50-word floor applies alongside
+    the repetition rules — only docs that pass the length gates are
+    judged on n-gram repetition. The LINE gate, by contrast, stays
+    ahead of the length gates because it scores the RAW text that
+    cleaning would collapse.
 
     ``exact_fp_prefix``: chars of cleaned text the exact-dedup
     fingerprint hashes. Default ``None`` = the FULL cleaned text
@@ -127,6 +149,31 @@ def prepare_corpus(
     lid = langid_hashed_ngram_udf(lid_model)
     ppl = perplexity_udf(bigram)
 
+    if max_top_ngram_char_frac is None:
+        max_top_ngram_char_frac = {2: 0.20}
+    if max_dup_ngram_char_frac is None:
+        max_dup_ngram_char_frac = {5: 0.15}
+    ngram_cond = F.lit(False)
+    ng_join = []
+    if max_top_ngram_char_frac or max_dup_ngram_char_frac:
+        # fifth consumer of the persisted base — the token explode and
+        # gram shuffles run over the cached cleaning output, never a
+        # second raw-text scan
+        ng = ngram_stats(
+            base.select("doc_id", F.col("text_clean").alias("text")),
+            top_ns=tuple(sorted(max_top_ngram_char_frac)),
+            dup_ns=tuple(sorted(max_dup_ngram_char_frac)),
+        )
+        ng_join = [ng]
+        for n, th in sorted(max_top_ngram_char_frac.items()):
+            ngram_cond = ngram_cond | (
+                F.col(f"top_{n}gram_char_frac") > F.lit(th)
+            )
+        for n, th in sorted(max_dup_ngram_char_frac.items()):
+            ngram_cond = ngram_cond | (
+                F.col(f"dup_{n}gram_char_frac") > F.lit(th)
+            )
+
     scored = (
         base.join(near_losers, "doc_id", "left")
         .withColumn("_lid", lid(F.col("text_clean")))
@@ -138,6 +185,8 @@ def prepare_corpus(
         .withColumn("_ppl", F.round(ppl(F.col("text_clean")), 4))
         .withColumn("n_tok", n_words(F.col("text_clean")))
     )
+    for ng in ng_join:
+        scored = scored.join(ng, "doc_id")
     reason = (
         F.when(F.col("_fp_rk") > 1, F.lit("exact_dup"))
         .when(F.col("_near"), F.lit("near_dup"))
@@ -148,6 +197,7 @@ def prepare_corpus(
         )
         .when(is_blank(F.col("text_clean")), F.lit("empty"))
         .when(F.col("n_tok") < min_words, F.lit("too_short"))
+        .when(ngram_cond, F.lit("high_ngram_repetition"))
         .when(F.col("_ppl") > ppl_threshold, F.lit("high_perplexity"))
         .when(F.col("_lid.lang") != F.col("lang"), F.lit("langid_mismatch"))
         .otherwise(F.lit("keep"))

@@ -165,3 +165,47 @@ def test_high_line_repetition_rule(spark):
     assert dec.loc["rep0", "decision"] == "drop"
     ctrl = dec[dec.index.str.startswith("c")]
     assert (ctrl["reason"] != "high_line_repetition").all()
+
+
+def test_high_ngram_repetition_rule(spark):
+    """The word-level Gopher gate at DEFAULT thresholds (top-2-gram
+    > 0.20 / dup-5-gram > 0.15, over the CLEANED text): a phrase
+    looping WITHIN one line — invisible to line dedup — drops with
+    reason high_ngram_repetition; the gate sits AFTER the length
+    gates (a 4-token doc reports too_short, never ngram, because
+    top-gram fractions are trivially large on tiny docs); passing
+    empty dials disables the stage entirely."""
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    body = "the quick brown fox jumps over the lazy dog again today"
+    rows = []
+    # SEO-spam shape: one line, phrase x6 — line cleaning keeps it
+    # verbatim (no repeated lines), only the n-gram gate can see it
+    rows.append(
+        ("spam", "visit shop " + " ".join(["buy now"] * 6) + " deal7", "en")
+    )
+    # ordering contract: repetitive but BELOW min_words -> too_short
+    rows.append(("tiny", "buy now buy now", "en"))
+    # clean controls: all bigrams unique, well under both dials
+    for i in range(20):
+        rows.append((f"c{i:02d}", f"{body} {i}\nsecond line {i} differs", "en"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+    decisions, _ = prepare_corpus(df)
+    dec = decisions.toPandas().set_index("doc_id")
+    decisions.unpersist()
+    assert dec.loc["spam", "reason"] == "high_ngram_repetition"
+    assert dec.loc["spam", "decision"] == "drop"
+    assert dec.loc["tiny", "reason"] == "too_short"
+    ctrl = dec[dec.index.str.startswith("c")]
+    assert (ctrl["reason"] != "high_ngram_repetition").all()
+
+    # dials {} = stage off: the spam doc must fall through to a
+    # DIFFERENT rule (or keep) and the plan must not pay the gate
+    decisions2, _ = prepare_corpus(
+        df, max_top_ngram_char_frac={}, max_dup_ngram_char_frac={}
+    )
+    dec2 = decisions2.toPandas().set_index("doc_id")
+    decisions2.unpersist()
+    assert dec2.loc["spam", "reason"] != "high_ngram_repetition"
+    assert (dec2["reason"] != "high_ngram_repetition").all()

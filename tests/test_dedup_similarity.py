@@ -463,6 +463,104 @@ def test_line_stats_gopher_repetition(spark):
     assert out.loc["empty", "dup_line_char_frac"] == 0.0
 
 
+def test_ngram_stats_gopher_repetition(spark):
+    """Planted word-level repetition (the signal line dedup can't see:
+    a phrase looping WITHIN one line). 'buy now' x3 dominates the spam
+    doc's bigrams; the 15-token loop doc saturates (cap at 1.0); in the
+    clean doc every bigram is unique so top weight = the LONGEST gram
+    (deterministic under Gopher's frequency tie); token-less docs are
+    inert zeros."""
+    from stop_sync_osm_atlas_spark.operators.lines import ngram_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["spam", "loop", "clean", "blank"],
+                "text": [
+                    "Buy now buy now BUY NOW",
+                    "a b c d e a b c d e a b c d e",
+                    "one two three four five six",
+                    " \t ",
+                ],
+            }
+        )
+    )
+    out = (
+        ngram_stats(docs, top_ns=(2, 3), dup_ns=(5,))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # norm 'buy now buy now buy now' (23 chars): 'buy now' x3 * 7 chars
+    assert out.loc["spam", "top_2gram_char_frac"] == round(21 / 23, 6)
+    # 'buy now buy' and 'now buy now' both x2 * 11 chars
+    assert out.loc["spam", "top_3gram_char_frac"] == round(22 / 23, 6)
+    # both 5-grams unique -> no duplicated 5-gram mass
+    assert out.loc["spam", "dup_5gram_char_frac"] == 0.0
+    # every 5-gram of the loop doc recurs; overlapping occurrences are
+    # not de-overlapped, so the raw mass exceeds the doc -> capped
+    assert out.loc["loop", "dup_5gram_char_frac"] == 1.0
+    # all bigrams unique: weight = longest ('three four', 10) / 27
+    assert out.loc["clean", "top_2gram_char_frac"] == round(10 / 27, 6)
+    assert out.loc["clean", "dup_5gram_char_frac"] == 0.0
+    assert (out.loc["blank"] == 0.0).all()
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_ngram_stats_matches_python_reference(spark, seed):
+    """Engine-vs-reference on random token streams: every fraction must
+    equal the documented contract computed directly (Counter-based),
+    including short docs (< n tokens), whitespace padding, and docs of
+    one repeated token."""
+    import re
+    from collections import Counter
+
+    from stop_sync_osm_atlas_spark.functions.text import ASCII_WS
+    from stop_sync_osm_atlas_spark.operators.lines import ngram_stats
+
+    rng = np.random.default_rng(seed)
+    vocab = ["buy", "now", "alpha", "beta", "gamma", "zz"]
+    docs = []
+    for i in range(80):
+        n = int(rng.integers(0, 14))
+        toks = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        pad = "\t " if i % 3 == 0 else ""
+        docs.append((f"d{i:03d}", pad + " ".join(toks) + pad))
+    top_ns, dup_ns = (2, 4), (3, 5)
+
+    def ref(text):
+        t = text.strip(ASCII_WS).lower()
+        toks = re.split(r"\s+", t, flags=re.ASCII) if t else []
+        nl = sum(map(len, toks)) + len(toks) - 1 if toks else 0
+        row = {}
+        for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+            for n in ns:
+                cnt = Counter(
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                )
+                if kind == "top":
+                    w = max((c * len(g) for g, c in cnt.items()), default=0)
+                else:
+                    w = sum(c * len(g) for g, c in cnt.items() if c > 1)
+                row[f"{kind}_{n}gram_char_frac"] = (
+                    min(1.0, w / nl) if nl else 0.0
+                )
+        return row
+
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = (
+        ngram_stats(sdf, top_ns=top_ns, dup_ns=dup_ns)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(docs)
+    for did, text in docs:
+        exp = ref(text)
+        for col, v in exp.items():
+            got = out.loc[did, col]
+            assert abs(got - v) <= 1e-6, (did, col, got, v, text)
+
+
 def test_contamination_overlap_planted(spark):
     """Decontamination micro-case: a train doc embedding an eval 8-gram
     verbatim is flagged with the exact overlap fraction; clean and

@@ -847,10 +847,16 @@ def q28_scrub_fingerprint(spark, sf):
     """Per-document hygiene pass: regex PII/toxicity scrub
     (operators/scrub) over captions with planted PII, the
     rolling/prefix document fingerprint (functions/text.fingerprint),
-    and (r4) train/eval DECONTAMINATION — 8-gram overlap of every doc
+    (r4) train/eval DECONTAMINATION — 8-gram overlap of every doc
     against the deterministic eval subset doc_id % 20 == 0
     (operators/dedup.contamination_overlap; eval docs self-overlap at
-    1.0 by construction, which the oracle reproduces)."""
+    1.0 by construction, which the oracle reproduces) — and (r5)
+    CROSS-DOCUMENT exact-substring duplication, Lee et al.'s
+    ExactSubstr family (operators/dedup.substring_duplication, token
+    8-grams in >= 2 distinct docs): per-doc duplicated-gram counts,
+    the span-union coverage fraction, and the md5 of the REMOVAL
+    transform's output (every covered token stripped) — the oracle
+    re-derives all four from the same md5-60bit gram hashes."""
     pairs = _derived_pairs(spark, sf)
     d = _t(spark, sf, "documents").select("doc_id", "text")
     scrubbed = pairs.select(
@@ -862,7 +868,18 @@ def q28_scrub_fingerprint(spark, sf):
     contam = DD.contamination_overlap(
         d, d.where(F.col("doc_id") % 20 == 0), n=8
     )
-    return scrubbed.join(fp, "doc_id").join(contam, "doc_id")
+    ss = DD.substring_duplication(
+        d, k=8, min_docs=2, include_dedup_text=True
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        "dup_span_frac",
+        F.md5("text_dedup").alias("dedup_fp"),
+    )
+    return (
+        scrubbed.join(fp, "doc_id").join(contam, "doc_id").join(ss, "doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1757,11 +1774,21 @@ FROM packed GROUP BY lang, bin
 
 
 def _oracle_q28() -> str:
-    """Scrub + fingerprint + (r4) decontamination: per-doc 8-gram
+    """Scrub + fingerprint + (r4) decontamination (per-doc 8-gram
     overlap against the doc_id % 20 == 0 eval subset, shingles hashed
-    to 60-bit md5 ints exactly as operators/dedup.contamination_overlap."""
+    to 60-bit md5 ints exactly as operators/dedup.contamination_overlap)
+    + (r5) ExactSubstr cross-doc substring duplication: positional
+    token 8-grams (lead ladder), hashed identically, duplicated iff in
+    >= 2 distinct docs; span coverage = window max over the 7 preceding
+    gram starts; removal fp = md5 of the uncovered tokens re-joined in
+    pos order (string_agg FILTER)."""
     n = 8
+    k = 8
     words = _sql_words("text")
+    ss_leads = ",\n    ".join(
+        f"lead(tok, {j}) OVER w AS l{j}" for j in range(1, k)
+    )
+    ss_gram = " || ' ' || ".join(["tok"] + [f"l{j}" for j in range(1, k)])
     shingles8 = (
         f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
         f"i -> list_aggregate(list_slice({words}, i, i + {n - 1}), 'string_agg', ' ')))"
@@ -1790,14 +1817,60 @@ ct AS (
     CAST(sum(CASE WHEN te.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
       AS n_contaminated
   FROM ct_trh tr LEFT JOIN ct_te te USING (h) GROUP BY id
+),
+ss_tok AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  FROM (SELECT doc_id, {words} AS l FROM documents)
+),
+ss_led AS (
+  SELECT doc_id, pos, tok,
+    {ss_leads}
+  FROM ss_tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+ss_g AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN l{k - 1} IS NOT NULL
+         THEN CAST(('0x' || substr(md5({ss_gram}), 1, 15)) AS BIGINT)
+    END AS h
+  FROM ss_led
+),
+ss_dup AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS c
+    FROM ss_g WHERE h IS NOT NULL GROUP BY h
+  ) WHERE c >= 2
+),
+ss_cov AS (
+  SELECT g.doc_id, g.pos, g.tok,
+    CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END AS gvalid,
+    CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS gdup,
+    max(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY g.doc_id ORDER BY g.pos
+            ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS cov
+  FROM ss_g g LEFT JOIN ss_dup d ON g.h = d.h
+),
+ss AS (
+  SELECT doc_id,
+    CAST(sum(gvalid) AS BIGINT) AS n_grams,
+    CAST(sum(gdup) AS BIGINT) AS n_dup_grams,
+    round(sum(cov) * 1.0 / count(*), 6) AS dup_span_frac,
+    md5(coalesce(
+      string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cov = 0), ''
+    )) AS dedup_fp
+  FROM ss_cov GROUP BY doc_id
 )
 SELECT p.doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
   (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed,
   md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '\\s+', ' ', 'g'), 1, 64)) AS fp,
   coalesce(ct.n_shingles, 0) AS n_shingles,
   coalesce(ct.n_contaminated, 0) AS n_contaminated,
-  round(coalesce(ct.n_contaminated * 1.0 / ct.n_shingles, 0.0), 6) AS overlap_frac
+  round(coalesce(ct.n_contaminated * 1.0 / ct.n_shingles, 0.0), 6) AS overlap_frac,
+  coalesce(ss.n_grams, 0) AS n_grams,
+  coalesce(ss.n_dup_grams, 0) AS n_dup_grams,
+  coalesce(ss.dup_span_frac, 0.0) AS dup_span_frac,
+  coalesce(ss.dedup_fp, md5('')) AS dedup_fp
 FROM pairs p LEFT JOIN ct ON ct.id = p.doc_id
+  LEFT JOIN ss ON ss.doc_id = p.doc_id
 """
 
 

@@ -412,3 +412,197 @@ def simhash64(c: Column, n: int = 1) -> Column:
     for bcol in bits[1:]:
         out = out.bitwiseOR(bcol)
     return out
+
+
+def _covered_token_frame(
+    docs: DataFrame,
+    k: int,
+    min_docs: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Internal: -> one row per token (id, pos, tok, _gvalid, _gdup, _cov).
+
+    _gvalid = a full k-gram starts here; _gdup = that gram appears in
+    >= min_docs DISTINCT docs; _cov = this token lies inside at least
+    one cross-doc-duplicated k-gram (the span-coverage union, computed
+    as a window max over the k-1 preceding gram starts — positions are
+    dense, so ROWS == RANGE).
+    """
+    from ..functions.text import words
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
+    )
+    win = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(win) for j in range(1, k)]
+    gram = F.concat_ws(" ", *parts)
+    # tail positions lack a full window; concat_ws skips nulls, so an
+    # unguarded tail would hash a shorter gram and cross-match real
+    # (k-j)-grams elsewhere
+    valid = parts[-1].isNotNull() if k > 1 else F.lit(True)
+    g = toks.select(
+        "id", "pos", "tok", md5_int(F.when(valid, gram), hex_chars=15).alias("h")
+    )
+    dup = (
+        g.where(F.col("h").isNotNull())
+        .select("h", "id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select(F.col("h").alias("_jk"), F.lit(True).alias("_dup"))
+    )
+    # the k-1 tail rows per doc carry h = null; hash-partitioning the
+    # flag join on raw h would pile every tail row of the corpus onto
+    # ONE null-key partition. Salt them across 1024 negative keys
+    # instead: the dup table holds only real (non-negative 60-bit)
+    # hashes, so salted keys can never match — pure distribution, no
+    # uniqueness requirement, exact semantics
+    jk = F.coalesce(
+        F.col("h"),
+        -F.lit(1) - F.pmod(F.xxhash64("id", "pos"), F.lit(1024)).cast("long"),
+    )
+    flagged = g.withColumn("_jk", jk).join(dup, "_jk", "left")
+    covw = (
+        W.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    )
+    return flagged.select(
+        "id",
+        "pos",
+        "tok",
+        F.col("h").isNotNull().alias("_gvalid"),
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("_gdup"),
+        (
+            F.max(
+                F.when(F.coalesce(F.col("_dup"), F.lit(False)), 1).otherwise(0)
+            ).over(covw)
+            == 1
+        ).alias("_cov"),
+    )
+
+
+def substring_duplication(
+    docs: DataFrame,
+    k: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_dedup_text: bool = False,
+) -> DataFrame:
+    """CROSS-DOCUMENT exact-substring duplication (the ExactSubstr
+    family of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better") -> (id_col, n_grams, n_dup_grams, dup_span_frac
+    [, text_dedup]), one row per input doc.
+
+    A token k-gram is *duplicated* iff its exact single-space-joined
+    form (over ``functions.text.words`` tokens — lower + full-ASCII
+    trim + \\s+ split, the repo-wide convention) occurs in at least
+    ``min_docs`` DISTINCT documents; within-doc repetition alone never
+    counts (that is ``lines.ngram_stats``'s signal). Per doc:
+
+      n_grams       = token positions starting a full k-gram
+      n_dup_grams   = of those, starts of a duplicated k-gram
+      dup_span_frac = fraction of TOKENS covered by >= 1 duplicated
+                      k-gram (the union of spans, not double-counted),
+                      rounded to 6; docs with no tokens report 0
+      text_dedup    = (``include_dedup_text=True``) the doc with every
+                      covered token removed, single-space-joined —
+                      the removal transform. Removes ALL copies of a
+                      duplicated span (the conservative simplification
+                      of ExactSubstr's keep-one; a distributed
+                      canonical-occurrence election would serialize on
+                      the duplicate clusters), so shared boilerplate
+                      vanishes corpus-wide in one pass.
+
+    Generalizes the reference's exact duplicate detection
+    (matching_script.py:221-242) from whole-record keys to substrings.
+    Complements the doc-level family: exact_dedup catches identical
+    docs, MinHash/Jaccard mostly-identical docs — this catches the
+    long-tail of big corpora where two UNRELATED pages share a quoted
+    paragraph, license block, or template.
+
+    Scale shape (100 TB): grams travel as 60-bit md5 ints, never
+    strings, from the first shuffle on; the heavy step is the
+    distinct (h, id) pair build (co-partitioned on h with map-side
+    combine — the same cost every published ExactSubstr-at-scale run
+    pays to find repeated spans). The gram build (explode + ONE lead
+    window) runs twice — once pruned to (h, id) feeding the global
+    duplicate-hash aggregate, once carrying tokens into the coverage
+    join (Catalyst specializes the shared subtree rather than reuse
+    it); that is the standard two-pass ExactSubstr trade — persist the
+    tokenized frame upstream if the scan dominates. The flag join is
+    salted on the null-h tail rows (1024 negative keys that by
+    construction match nothing) so no partition collects every doc's
+    tail; the dup-hash side is co-partitioned on the same key (AQE may
+    broadcast a small one). The coverage window re-sorts per doc once
+    after the flag join, and the final aggregate rides that
+    partitioning. The optional text rebuild is a per-doc array_sort
+    over collect_list — bounded by doc length, after all filtering.
+    No UDFs anywhere.
+    """
+    cov = _covered_token_frame(docs, k, min_docs, text_col, id_col)
+    aggs = [
+        F.sum(F.when(F.col("_gvalid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_grams"),
+        F.sum(F.when(F.col("_gdup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+        F.round(
+            F.sum(F.when(F.col("_cov"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("dup_span_frac"),
+    ]
+    if include_dedup_text:
+        # collect_list drops nulls: only uncovered tokens enter; the
+        # struct sort (pos leads) restores document order, .getField
+        # is pure ExtractValue — no higher-order lambda
+        aggs.append(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("_cov"), F.struct("pos", "tok"))
+                    )
+                ).getField("tok"),
+                " ",
+            ).alias("text_dedup")
+        )
+    per = cov.groupBy("id").agg(*aggs)
+    out_cols = [
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+        F.coalesce(F.col("dup_span_frac"), F.lit(0.0)).alias("dup_span_frac"),
+    ]
+    if include_dedup_text:
+        out_cols.append(
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup")
+        )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(per, "id", "left").select(
+        F.col("id").alias(id_col), *out_cols
+    )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    k: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal transform of ``substring_duplication`` alone ->
+    (id_col, text_dedup): every token covered by a cross-document
+    duplicated k-gram removed, remainder single-space-joined (tokens
+    are whitespace-split, so the join is lossless up to whitespace
+    normalization). Docs with no tokens -> ''."""
+    return substring_duplication(
+        docs,
+        k=k,
+        min_docs=min_docs,
+        text_col=text_col,
+        id_col=id_col,
+        include_dedup_text=True,
+    ).select(id_col, "text_dedup")

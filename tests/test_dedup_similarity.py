@@ -697,3 +697,127 @@ def test_pack_bins_budget_validation_is_eager(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_bins(None, F.lit(1), budget=0)
+
+
+def test_substring_duplication_planted(spark):
+    """ExactSubstr family, k=4 / min_docs=2: a 5-token span shared by
+    two otherwise-unrelated docs marks exactly its two 4-gram starts
+    and the UNION of their spans (no double counting); scrambled token
+    overlap and within-doc-only repetition never count; removal strips
+    every covered token (all copies) and is case-normalized like
+    words(); blank docs are inert."""
+    from stop_sync_osm_atlas_spark.operators.dedup import (
+        remove_duplicated_spans,
+        substring_duplication,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["A", "B", "C", "D", "E"],
+                "text": [
+                    # upper-case copy of the span: words() lowers first
+                    "a1 a2 S1 S2 S3 S4 S5 a3",
+                    "b1 s1 s2 s3 s4 s5",
+                    # every span token present but scrambled: no shared 4-gram
+                    "s5 s3 s1 s4 s2 c1 c2 c3",
+                    # the same 4-gram twice WITHIN one doc only
+                    "x1 x2 x3 x4 q x1 x2 x3 x4",
+                    "  \t ",
+                ],
+            }
+        )
+    )
+    out = (
+        substring_duplication(
+            docs, k=4, min_docs=2, include_dedup_text=True
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["A", "n_grams"] == 5
+    assert out.loc["A", "n_dup_grams"] == 2
+    assert out.loc["A", "dup_span_frac"] == round(5 / 8, 6)
+    assert out.loc["A", "text_dedup"] == "a1 a2 a3"
+    assert out.loc["B", "n_grams"] == 3
+    assert out.loc["B", "n_dup_grams"] == 2
+    assert out.loc["B", "dup_span_frac"] == round(5 / 6, 6)
+    assert out.loc["B", "text_dedup"] == "b1"
+    for clean in ("C", "D"):
+        assert out.loc[clean, "n_dup_grams"] == 0
+        assert out.loc[clean, "dup_span_frac"] == 0.0
+    assert out.loc["D", "text_dedup"] == "x1 x2 x3 x4 q x1 x2 x3 x4"
+    assert out.loc["E", "n_grams"] == 0
+    assert out.loc["E", "dup_span_frac"] == 0.0
+    assert out.loc["E", "text_dedup"] == ""
+
+    rm = remove_duplicated_spans(docs, k=4, min_docs=2).toPandas()
+    assert set(rm.columns) == {"doc_id", "text_dedup"}
+    assert (
+        rm.set_index("doc_id")["text_dedup"] == out["text_dedup"]
+    ).all()
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_substring_duplication_matches_python_reference(spark, seed):
+    """Engine-vs-reference on random token streams over a small vocab
+    (collisions guaranteed): per-doc gram counts, span-union coverage,
+    and the removal string must equal the Counter-based contract."""
+    import re
+
+    from stop_sync_osm_atlas_spark.functions.text import ASCII_WS
+    from stop_sync_osm_atlas_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    k, min_docs = 3, 2
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(0, 12))
+        toks = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        pad = " \t" if i % 4 == 0 else ""
+        docs.append((f"d{i:03d}", pad + " ".join(toks) + pad))
+
+    def tokens(text):
+        t = text.strip(ASCII_WS).lower()
+        return re.split(r"\s+", t, flags=re.ASCII) if t else []
+
+    gram_docs = {}
+    for did, text in docs:
+        toks = tokens(text)
+        for i in range(len(toks) - k + 1):
+            gram_docs.setdefault(" ".join(toks[i : i + k]), set()).add(did)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+
+    out = (
+        substring_duplication(
+            spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"])),
+            k=k,
+            min_docs=min_docs,
+            include_dedup_text=True,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == len(docs)
+    for did, text in docs:
+        toks = tokens(text)
+        starts = [
+            i
+            for i in range(len(toks) - k + 1)
+            if " ".join(toks[i : i + k]) in dup
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + k))
+        exp_frac = round(len(covered) / len(toks), 6) if toks else 0.0
+        row = out.loc[did]
+        assert row["n_grams"] == max(len(toks) - k + 1, 0), did
+        assert row["n_dup_grams"] == len(starts), did
+        assert abs(row["dup_span_frac"] - exp_frac) <= 1e-9, (did, text)
+        exp_txt = " ".join(
+            t for i, t in enumerate(toks) if i not in covered
+        )
+        assert row["text_dedup"] == exp_txt, (did, text)

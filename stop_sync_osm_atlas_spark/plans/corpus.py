@@ -6,6 +6,8 @@ standard web-corpus preparation flow, composed entirely from the
 engine's graded operators:
 
 1. line-level cleaning          operators/lines.clean_lines      (q-tested)
+   + optional ExactSubstr removal
+                                operators/dedup.remove_duplicated_spans (q28)
 2. exact dedup                  operators/dedup.exact_dedup shape (q21)
 3. MinHash-LSH near-dedup       operators/dedup.minhash_lsh_pairs (q26)
 4. model quality signals        functions/training.train_models_fused
@@ -37,7 +39,7 @@ from ..functions.langid import langid_hashed_ngram_udf
 from ..functions.perplexity import perplexity_udf
 from ..functions.text import is_blank, n_words
 from ..functions.training import train_models_fused
-from ..operators.dedup import minhash_lsh_pairs
+from ..operators.dedup import minhash_lsh_pairs, remove_duplicated_spans
 from ..operators.lines import clean_lines, ngram_stats
 from ..operators.packing import pack_bins
 
@@ -54,6 +56,8 @@ def prepare_corpus(
     max_top_ngram_char_frac: dict[int, float] | None = None,
     max_dup_ngram_char_frac: dict[int, float] | None = None,
     exact_fp_prefix: int | None = None,
+    remove_dup_spans_k: int | None = None,
+    remove_dup_spans_min_docs: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (decisions, bins).
 
@@ -96,6 +100,21 @@ def prepare_corpus(
     ahead of the length gates because it scores the RAW text that
     cleaning would collapse.
 
+    ``remove_dup_spans_k``: off by default (``None``). When set, the
+    ExactSubstr removal transform
+    (``operators/dedup.remove_duplicated_spans``) runs between line
+    cleaning and everything downstream: every token inside a k-token
+    gram shared by >= ``remove_dup_spans_min_docs`` DISTINCT docs is
+    stripped from ALL of them — the cross-document license-block /
+    quoted-paragraph / template long tail that line cleaning (bounded
+    by line breaks) and doc-level dedup (whole-doc granularity) both
+    miss. Fingerprinting, near-dedup, the trained models, every
+    cleaned-text gate, and packing then see the STRIPPED text, so
+    n_tok and the packed bins reflect what a trainer would consume.
+    The stage adds two gram-build passes over the cleaning output, so
+    the pre-strip frame is persisted for its duration (released with
+    the base cache).
+
     ``exact_fp_prefix``: chars of cleaned text the exact-dedup
     fingerprint hashes. Default ``None`` = the FULL cleaned text
     (exact — safe here because cleaning bounds pathological docs and
@@ -115,6 +134,25 @@ def prepare_corpus(
     """
     cleaned = clean_lines(docs, max_line_df=max_line_df, with_stats=True)
     base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
+
+    pre_strip = None
+    if remove_dup_spans_k is not None:
+        # the substring pass reads its input twice (gram build for the
+        # global dup-hash set + the coverage join) and this join makes a
+        # third consumer — persist the cleaning output for the stage's
+        # duration or the Python cleaning stage recomputes per branch
+        pre_strip = base.persist()
+        stripped = remove_duplicated_spans(
+            pre_strip.select("doc_id", F.col("text_clean").alias("text")),
+            k=remove_dup_spans_k,
+            min_docs=remove_dup_spans_min_docs,
+        )
+        base = pre_strip.drop("text_clean").join(
+            stripped.select(
+                "doc_id", F.col("text_dedup").alias("text_clean")
+            ),
+            "doc_id",
+        )
 
     # exact dedup on the CLEANED text (q21 shape): keep min doc_id.
     fp_input = (
@@ -220,6 +258,8 @@ def prepare_corpus(
     # `decisions` stays cached — callers unpersist it when done.
     decisions.count()
     base.unpersist()
+    if pre_strip is not None:
+        pre_strip.unpersist()
 
     kept = decisions.where(F.col("decision") == "keep").select(
         "doc_id", "lang", "n_tok"

@@ -209,3 +209,44 @@ def test_high_ngram_repetition_rule(spark):
     decisions2.unpersist()
     assert dec2.loc["spam", "reason"] != "high_ngram_repetition"
     assert (dec2["reason"] != "high_ngram_repetition").all()
+
+
+def test_remove_dup_spans_stage(spark):
+    """Optional ExactSubstr stage (remove_dup_spans_k): a 13-token
+    license block embedded INLINE in six docs' otherwise-unique single
+    line — invisible to line cleaning (no repeated or cross-doc line)
+    and to doc-level dedup (docs differ) — is stripped from ALL of
+    them before fingerprinting/scoring/packing, so n_tok reflects the
+    trainer-visible text; off by default the same docs keep their full
+    token count; a control doc is untouched in both modes."""
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    block = (
+        "licensed under the creative commons attribution share alike"
+        " license version four point zero"
+    )  # 13 tokens
+    rows = []
+    for i in range(6):
+        pre = f"intro{i} one{i} two{i} three{i} four{i} five{i}"
+        suf = f"tail{i} six{i} seven{i} eight{i} nine{i} end{i}"
+        rows.append((f"b{i}", f"{pre} {block} {suf}", "en"))
+    rows.append(
+        ("ctrl", "only unique words here nothing shared at all today friend buddy", "en")
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+
+    on, _ = prepare_corpus(df, remove_dup_spans_k=8)
+    dec_on = on.toPandas().set_index("doc_id")
+    on.unpersist()
+    off, _ = prepare_corpus(df)
+    dec_off = off.toPandas().set_index("doc_id")
+    off.unpersist()
+
+    assert len(dec_on) == len(rows) and len(dec_off) == len(rows)
+    for i in range(6):
+        assert dec_off.loc[f"b{i}", "n_tok"] == 25
+        assert dec_on.loc[f"b{i}", "n_tok"] == 12  # 13-token block gone
+    assert dec_on.loc["ctrl", "n_tok"] == 11
+    assert dec_off.loc["ctrl", "n_tok"] == 11

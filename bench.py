@@ -221,7 +221,8 @@ def main() -> None:
         "q07_ratio_test",
         "q14_cascade_resolution", "q19_sessionize", "q20_doc_stats",
         "q23_quality_cascade", "q24_neardup", "q25_ngram_jaccard",
-        "q26_minhash_lsh", "q30_ann_methods", "q32_hourly_rollup",
+        "q26_minhash_lsh", "q28_scrub_fingerprint", "q30_ann_methods",
+        "q32_hourly_rollup",
         "q44_banded_cosine_pairs", "q45_hash_sample", "q46_strict_merge",
         "q48_model_cascade", "q50_sequence_pack",
         "q52_tfidf_keywords", "q53_stream_dedup", "q54_neardup_bands",

@@ -109,6 +109,56 @@ def run_once(cpus: int, tiles: int) -> dict:
     }
 
 
+def run_substr(cpus: int, tiles: int) -> dict:
+    """Scale probe for operators/dedup.substring_duplication (r5): the
+    tiled corpus is the worst realistic shape — nearly every 8-gram of
+    every doc recurs in all other tiles, so the distinct (h, id) build
+    and the coverage join both run at full duplication density."""
+    from pyspark.sql import functions as F
+
+    from stop_sync_osm_atlas_spark.operators.dedup import (
+        substring_duplication,
+    )
+    from stop_sync_osm_atlas_spark.session import get_spark
+
+    path = ensure_corpus(tiles)
+    spark = get_spark(master=f"local[{cpus}]")
+    docs = spark.read.parquet(path)
+    n_in = docs.count()
+    # warm-up (codegen + Python-free, but shuffle/window machinery) on
+    # the plain fixture
+    substring_duplication(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        k=8,
+        include_dedup_text=True,
+    ).agg(F.sum("n_dup_grams")).collect()
+
+    t0 = time.time()
+    row = (
+        substring_duplication(docs, k=8, include_dedup_text=True)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_dup_grams").alias("dup_grams"),
+            F.round(F.avg("dup_span_frac"), 4).alias("avg_frac"),
+            F.sum(F.length("text_dedup")).alias("dedup_chars"),
+        )
+        .collect()[0]
+    )
+    wall = time.time() - t0
+    return {
+        "cpus": cpus,
+        "tiles": tiles,
+        "docs_in": n_in,
+        "docs_out": row["n"],
+        "conserved": row["n"] == n_in,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_in / wall, 1),
+        "dup_grams": int(row["dup_grams"]),
+        "avg_dup_span_frac": float(row["avg_frac"]),
+        "dedup_chars": int(row["dedup_chars"]),
+    }
+
+
 def run_phases(cpus: int, tiles: int) -> dict:
     """Stage-level wall times for the efficiency-gap attribution (r5):
     which prepare_corpus stage loses parallel time at low widths?
@@ -175,7 +225,55 @@ def main() -> None:
     ap.add_argument("--tiles", type=int, default=20)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--phases", action="store_true")
+    ap.add_argument("--substr", action="store_true")
     args = ap.parse_args()
+
+    if args.substr and not args.scaling:
+        print(json.dumps(run_substr(args.cpus, args.tiles)))
+        return
+
+    if args.substr:  # --substr --scaling: local[2] vs local[8]
+        results = {}
+        for c in (2, 8):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(c),
+                 "--tiles", str(args.tiles), "--substr"],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[c] = json.loads(line)
+        lo, hi = results[2], results[8]
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+        report = {
+            "metric": "substring_dedup_scaling_local2_vs_local8",
+            "value": round(eff, 4),
+            "docs": lo["docs_in"],
+            "wall_local2": lo["wall_sec"],
+            "wall_local8": hi["wall_sec"],
+            "docs_per_sec_local2": lo["docs_per_sec"],
+            "docs_per_sec_local8": hi["docs_per_sec"],
+            "conserved": lo["conserved"] and hi["conserved"],
+            "avg_dup_span_frac": hi["avg_dup_span_frac"],
+        }
+        md = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH", "BASELINE.md",
+        )
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        with open(md, "a") as fh:
+            fh.write(
+                f"\n## Substring-dedup scale stress {stamp}\n"
+                f"- input: {lo['docs_in']} docs ({args.tiles}x-tiled sf0.1 documents;\n"
+                f"  full duplication density — nearly every 8-gram recurs in every tile)\n"
+                f"- operator: substring_duplication(k=8, include_dedup_text=True)\n"
+                f"- local[2]: {lo['wall_sec']} s -> {lo['docs_per_sec']} docs/sec; "
+                f"local[8]: {hi['wall_sec']} s -> {hi['docs_per_sec']} docs/sec\n"
+                f"- scaling efficiency (N vs 4N cores): **{round(eff, 4)}**\n"
+                f"- avg dup_span_frac {hi['avg_dup_span_frac']}, "
+                f"conserved = {report['conserved']}\n"
+            )
+        print(json.dumps(report))
+        return
 
     if args.phases and not args.scaling:
         print(json.dumps(run_phases(args.cpus, args.tiles)))

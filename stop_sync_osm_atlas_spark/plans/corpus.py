@@ -137,10 +137,10 @@ def prepare_corpus(
 
     pre_strip = None
     if remove_dup_spans_k is not None:
-        # the substring pass reads its input twice (gram build for the
-        # global dup-hash set + the coverage join) and this join makes a
-        # third consumer — persist the cleaning output for the stage's
-        # duration or the Python cleaning stage recomputes per branch
+        # the substring pass checkpoints its token frame (one read) but
+        # this join is a second consumer of the cleaning output —
+        # persist it for the stage's duration or the Python cleaning
+        # stage recomputes per branch
         pre_strip = base.persist()
         stripped = remove_duplicated_spans(
             pre_strip.select("doc_id", F.col("text_clean").alias("text")),

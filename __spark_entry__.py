@@ -136,7 +136,8 @@ def _ngram_ctes(
 ),
 {tag}_pern AS (
   SELECT doc_id, n,
-    max(c * length(gram)) AS top_w,
+    -- most-frequent gram's char mass (argmax by count, mass tie-break)
+    (max({{'c': c, 'w': c * length(gram)}})).w AS top_w,
     sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS dup_w,
     sum(c * length(gram)) AS all_w,
     sum(c) AS n_occ

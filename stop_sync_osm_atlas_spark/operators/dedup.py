@@ -451,15 +451,20 @@ def _covered_token_frame(
         # aggregate and the coverage join) and Catalyst specializes
         # shared subtrees instead of reusing them — without this the
         # explode + lead window run twice. localCheckpoint (the
-        # neardup.py precedent): one eager job, lineage cut, blocks
-        # freed by the ContextCleaner when the result frame is dropped
-        # (a persist() here would leak its cache entry — the operator
-        # returns a lazy frame and has no unpersist seam). Measured at
-        # 400k docs / local[8]: 33.4 s -> 20.7 s warm. Trade: executor
-        # storage for the token frame and checkpoint-block loss on
-        # executor death — pass False to recompute instead (the classic
-        # two-pass shape) when storing tokens is worse than re-scanning.
-        g = g.localCheckpoint(eager=True)
+        # neardup.py precedent): lineage cut, both consumers read one
+        # checkpointed RDD, blocks freed by the ContextCleaner when the
+        # result frame is dropped (a persist() here would leak its
+        # cache entry — there is no unpersist seam). Measured at 400k
+        # docs / local[8]: 33.4 s -> 20.7 s warm. eager=False so
+        # CONSTRUCTING the frame stays cheap (A/B: eager construction
+        # ran the full token job, 16-28 s at 400k docs; lazy ~3 s with
+        # equal totals and identical results) — materialization happens
+        # with the caller's first action, preserving the declare-then-
+        # run contract. Trade: executor storage for the token frame and
+        # checkpoint-block loss on executor death — pass False to
+        # recompute instead (the classic two-pass shape) when storing
+        # tokens is worse than re-scanning.
+        g = g.localCheckpoint(eager=False)
     dup = (
         g.where(F.col("h").isNotNull())
         .select("h", "id")

@@ -63,9 +63,13 @@ def ngram_stats(
     dup_{n}gram_char_frac = sum over grams seen >= 2 times of
                             count * len(gram) / norm_len  (n = 5 .. 10)
 
-    where len(gram) counts the single-space-joined form and norm_len is
-    the length of the whole space-joined token stream (= the fingerprint
-    normalization's length). Overlapping occurrences are NOT
+    where "most frequent" is argmax by COUNT (the published rule), a
+    count tie breaking toward the larger char mass — deterministic in
+    every mirror, unlike the reference implementations' Counter
+    insertion order; len(gram) counts the single-space-joined form and
+    norm_len is the length of the whole space-joined token stream (=
+    the fingerprint normalization's length). Overlapping occurrences
+    are NOT
     de-overlapped (the standard published simplification of Gopher's
     "taking care not to count characters twice"); fractions are capped
     at 1.0 and rounded to 6 decimals, matching ``line_stats``'s
@@ -114,7 +118,18 @@ def ngram_stats(
     )
     cnt = grams.groupBy("id", "n", "gram").agg(F.count("*").alias("c"))
     per_n = cnt.groupBy("id", "n").agg(
-        F.max(F.col("c") * F.length("gram")).alias("top_w"),
+        # char mass of the MOST FREQUENT n-gram (Gopher's rule is
+        # argmax by count, not max mass): lexicographic struct max =
+        # highest count first, ties broken toward the larger char mass
+        # (deterministic, unlike Counter insertion order)
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                (F.col("c") * F.length("gram")).alias("w"),
+            )
+        )
+        .getField("w")
+        .alias("top_w"),
         F.sum(
             F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(
                 F.lit(0)

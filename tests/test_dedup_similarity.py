@@ -539,7 +539,11 @@ def test_ngram_stats_matches_python_reference(spark, seed):
                     for i in range(len(toks) - n + 1)
                 )
                 if kind == "top":
-                    w = max((c * len(g) for g, c in cnt.items()), default=0)
+                    # argmax by count, count ties -> larger char mass
+                    w = max(
+                        ((c, c * len(g)) for g, c in cnt.items()),
+                        default=(0, 0),
+                    )[1]
                 else:
                     w = sum(c * len(g) for g, c in cnt.items() if c > 1)
                 row[f"{kind}_{n}gram_char_frac"] = (

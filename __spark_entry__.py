@@ -227,8 +227,10 @@ def q02_corpus_prep(spark, sf):
     """The composed LLM-corpus preparation pipeline graded END-TO-END
     (plans/corpus.prepare_corpus), BOTH output frames in one union:
     mode='decision' = line cleaning -> exact dedup -> MinHash-LSH
-    near-dedup -> Gopher line-repetition gate -> length gates ->
-    word-n-gram repetition gate -> fused-trained quality-model
+    near-dedup -> Gopher line gates (repetition, bullet-start,
+    ellipsis-end) -> length gates -> word-n-gram repetition gate ->
+    Gopher word gates (mean word length, alpha-word fraction,
+    stopword presence) -> fused-trained quality-model
     ladder, one row per input doc; mode='bin' = the
     SAME run's packed training bins over the kept docs (the artifact a
     trainer actually consumes). The oracle (_oracle_q02) re-derives
@@ -666,7 +668,9 @@ def q20_doc_stats(spark, sf):
     """Text-statistic rules as grouped aggregates (token counting,
     symbol ratio, stopword density — SURVEY §2.9 heuristics), plus
     (r4) Gopher-style within-doc line-repetition signals
-    (operators/lines.line_stats) and (r5) word-n-gram repetition
+    (operators/lines.line_stats), (r5) the bullet-start / ellipsis-end
+    format fractions riding the same per-form aggregate, and (r5)
+    word-n-gram repetition
     signals (operators/lines.ngram_stats: top-2/3-gram and dup-5/10-gram
     character fractions) averaged per lang."""
     from stop_sync_osm_atlas_spark.operators.lines import line_stats, ngram_stats
@@ -688,6 +692,12 @@ def q20_doc_stats(spark, sf):
             F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
             F.round(F.avg("dup_line_char_frac"), 6).alias(
                 "avg_dup_line_char_frac"
+            ),
+            F.round(F.avg("bullet_line_frac"), 6).alias(
+                "avg_bullet_line_frac"
+            ),
+            F.round(F.avg("ellipsis_line_frac"), 6).alias(
+                "avg_ellipsis_line_frac"
             ),
         )
     )
@@ -1286,19 +1296,27 @@ ls_form AS (
 ),
 ls_doc AS (
   SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS dups,
-    sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars
+    sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars,
+    sum(CASE WHEN substr(form, 1, 1) IN ('•', '-', '*', '●')
+             THEN c ELSE 0 END) AS bullets,
+    sum(CASE WHEN form LIKE '%...' OR form LIKE '%…'
+             THEN c ELSE 0 END) AS ellipses
   FROM ls_form GROUP BY doc_id
 ),
 ls AS (
   SELECT d.doc_id, d.lang,
     round(coalesce(l.dups * 1.0 / l.n_lines, 0.0), 6) AS dup_line_frac,
-    round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) AS dup_line_char_frac
+    round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) AS dup_line_char_frac,
+    round(coalesce(l.bullets * 1.0 / l.n_lines, 0.0), 6) AS bullet_line_frac,
+    round(coalesce(l.ellipses * 1.0 / l.n_lines, 0.0), 6) AS ellipsis_line_frac
   FROM documents d LEFT JOIN ls_doc l USING (doc_id)
 ),
 rep AS (
   SELECT lang,
     round(avg(dup_line_frac), 6) AS avg_dup_line_frac,
-    round(avg(dup_line_char_frac), 6) AS avg_dup_line_char_frac
+    round(avg(dup_line_char_frac), 6) AS avg_dup_line_char_frac,
+    round(avg(bullet_line_frac), 6) AS avg_bullet_line_frac,
+    round(avg(ellipsis_line_frac), 6) AS avg_ellipsis_line_frac
   FROM ls GROUP BY lang
 ),
 {_ngram_ctes('documents', (2, 3), (5, 10))[0]},
@@ -1311,6 +1329,7 @@ ngl AS (
   FROM ng JOIN documents d USING (doc_id) GROUP BY d.lang
 )
 SELECT base.*, rep.avg_dup_line_frac, rep.avg_dup_line_char_frac,
+  rep.avg_bullet_line_frac, rep.avg_ellipsis_line_frac,
   ngl.avg_top_2gram_char_frac, ngl.avg_top_3gram_char_frac,
   ngl.avg_dup_5gram_char_frac, ngl.avg_dup_10gram_char_frac
 FROM base JOIN rep USING (lang) JOIN ngl USING (lang)
@@ -1649,12 +1668,15 @@ def _oracle_q02() -> str:
     (operators/lines.clean_lines, max_line_df=2) -> exact dedup on the
     cleaned text (md5, min doc_id survives) -> MinHash-LSH near-dedup
     over the survivors (threshold 0.5; pair losers = larger doc_id) ->
-    Gopher line-repetition gate (line_stats fracs over the RAW lines,
-    >0.30 dup lines or >0.20 dup chars) -> length gates -> word-n-gram
+    Gopher line gates (line_stats fracs over the RAW lines: >0.30 dup
+    lines or >0.20 dup chars; >0.90 bullet-start; >0.30 ellipsis-end)
+    -> length gates -> word-n-gram
     repetition gate (ngram_stats over the CLEANED text, top-2-gram
     > 0.20 or dup-5-gram > 0.15, AFTER empty/too_short: top-gram
-    fractions are trivially large on tiny docs) -> BOTH quality models
-    trained on the survivors and scored
+    fractions are trivially large on tiny docs) -> Gopher word gates
+    (mean word length in [3, 10], >= 0.80 alpha-word fraction, >= 2
+    pooled-stopword hits — same post-length placement) -> BOTH quality
+    models trained on the survivors and scored
     over every doc -> the first-matching-reason ladder -> the global
     packing window over the kept docs (mode='bin' rows, budget 512)."""
     words = _sql_words("c.text")
@@ -1708,7 +1730,11 @@ lsf AS (
 ),
 lsd AS (
   SELECT doc_id, sum(c) AS n_l, sum(c) - count(*) AS dups,
-    sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars
+    sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars,
+    sum(CASE WHEN substr(form, 1, 1) IN ('•', '-', '*', '●')
+             THEN c ELSE 0 END) AS bullets,
+    sum(CASE WHEN form LIKE '%...' OR form LIKE '%…'
+             THEN c ELSE 0 END) AS ellipses
   FROM lsf GROUP BY doc_id
 ),
 {_ppl_ctes_for(score='clean', train='surv')},
@@ -1719,8 +1745,21 @@ sig0 AS (
     (round(coalesce(l.dups * 1.0 / l.n_l, 0.0), 6) > 0.30
      OR round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) > 0.20)
       AS is_rep,
+    round(coalesce(l.bullets * 1.0 / l.n_l, 0.0), 6) > 0.90 AS is_bullet,
+    round(coalesce(l.ellipses * 1.0 / l.n_l, 0.0), 6) > 0.30
+      AS is_ellipsis,
     (g.top_2gram_char_frac > 0.20 OR g.dup_5gram_char_frac > 0.15)
       AS is_ngram_rep,
+    CASE WHEN len({words}) > 0 THEN
+      round(length(regexp_replace(lower(trim(c.text, {_WS})), '\\s', '', 'g'))
+            * 1.0 / len({words}), 6)
+      ELSE 0.0 END AS mean_wlen,
+    CASE WHEN len({words}) > 0 THEN
+      round(len(list_filter({words}, x -> regexp_matches(x, '[a-z]')))
+            * 1.0 / len({words}), 6)
+      ELSE 1.0 END AS alpha_frac,
+    len(list_filter({words}, x -> list_contains({_sql_list(ALL_STOPWORDS)}, x)))
+      AS sw_hits,
     (trim(c.text, {_WS}) = '') AS is_empty,
     CAST(len({words}) AS INT) AS n_tok,
     s.ppl,
@@ -1739,14 +1778,21 @@ dec AS (
     CASE WHEN fp_rk > 1 THEN 'exact_dup'
          WHEN is_near THEN 'near_dup'
          WHEN is_rep THEN 'high_line_repetition'
+         WHEN is_bullet THEN 'high_bullet_lines'
+         WHEN is_ellipsis THEN 'high_ellipsis_lines'
          WHEN is_empty THEN 'empty'
          WHEN n_tok < 5 THEN 'too_short'
          WHEN is_ngram_rep THEN 'high_ngram_repetition'
+         WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length_outlier'
+         WHEN alpha_frac < 0.80 THEN 'low_alpha_ratio'
+         WHEN sw_hits < 2 THEN 'low_stopword_count'
          WHEN ppl > 6.0 THEN 'high_perplexity'
          WHEN pred_lang <> lang THEN 'langid_mismatch'
          ELSE 'keep' END AS reason,
-    CASE WHEN fp_rk > 1 OR is_near OR is_rep OR is_ngram_rep OR is_empty
-           OR n_tok < 5 OR ppl > 6.0 OR pred_lang <> lang
+    CASE WHEN fp_rk > 1 OR is_near OR is_rep OR is_bullet OR is_ellipsis
+           OR is_ngram_rep OR is_empty OR n_tok < 5
+           OR mean_wlen < 3.0 OR mean_wlen > 10.0 OR alpha_frac < 0.80
+           OR sw_hits < 2 OR ppl > 6.0 OR pred_lang <> lang
          THEN 'drop' ELSE 'keep' END AS decision,
     n_tok
   FROM sig0

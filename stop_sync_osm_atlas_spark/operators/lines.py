@@ -175,19 +175,40 @@ def ngram_stats(
     )
 
 
+BULLET_CHARS = ("•", "-", "*", "●")
+ELLIPSES = ("...", "…")
+
+
+def _is_bullet(form) -> "F.Column":
+    return F.substring(form, 1, 1).isin(*BULLET_CHARS)
+
+
+def _is_ellipsis(form) -> "F.Column":
+    out = F.lit(False)
+    for e in ELLIPSES:
+        out = out | form.endswith(e)
+    return out
+
+
 def line_stats(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Gopher-style within-document repetition signals ->
-    (id_col, n_lines, dup_line_frac, dup_line_char_frac).
+    """Gopher-style within-document line signals ->
+    (id_col, n_lines, dup_line_frac, dup_line_char_frac,
+    bullet_line_frac, ellipsis_line_frac).
 
     Over NON-EMPTY normalized lines of each document:
     dup_line_frac       = (lines - distinct lines) / lines
     dup_line_char_frac  = chars in repeat occurrences / total chars
-    (a line form occurring c times with L chars contributes (c-1)*L).
-    Documents with no non-empty lines report (0, 0.0, 0.0).
+    (a line form occurring c times with L chars contributes (c-1)*L);
+    bullet_line_frac    = lines starting with a bullet char
+                          ({'•', '-', '*', '●'}) / lines
+    ellipsis_line_frac  = lines ending with '...' or '…' / lines
+    (the Gopher format filters: > 90% bullet or > 30% ellipsis lines
+    marks a listing/snippet page, occurrence-weighted like the dup
+    fractions). Documents with no non-empty lines report zeros.
 
     Scale shape: one explode, one (doc, line-form) aggregate, one
     per-doc aggregate — the same shuffle key layout as clean_lines'
@@ -213,6 +234,14 @@ def line_stats(
         (F.sum("_c") - F.count("*")).alias("_dups"),
         F.sum(F.col("_c") * F.col("_len")).alias("_chars"),
         F.sum((F.col("_c") - 1) * F.col("_len")).alias("_dup_chars"),
+        F.sum(
+            F.when(_is_bullet(F.col("form")), F.col("_c")).otherwise(F.lit(0))
+        ).alias("_bullets"),
+        F.sum(
+            F.when(_is_ellipsis(F.col("form")), F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_ellipses"),
     )
     ids = docs.select(F.col(id_col).alias("id"))
     return ids.join(per_doc, "id", "left").select(
@@ -224,6 +253,12 @@ def line_stats(
         F.round(
             F.coalesce(F.col("_dup_chars") / F.col("_chars"), F.lit(0.0)), 6
         ).alias("dup_line_char_frac"),
+        F.round(
+            F.coalesce(F.col("_bullets") / F.col("n_lines"), F.lit(0.0)), 6
+        ).alias("bullet_line_frac"),
+        F.round(
+            F.coalesce(F.col("_ellipses") / F.col("n_lines"), F.lit(0.0)), 6
+        ).alias("ellipsis_line_frac"),
     )
 
 
@@ -239,10 +274,11 @@ def clean_lines(
     ``max_line_df``: a normalized line occurring in MORE than this many
     distinct documents is boilerplate and is removed everywhere.
 
-    ``with_stats``: additionally emit the ``line_stats`` Gopher
-    repetition signals (``dup_line_frac``, ``dup_line_char_frac``,
-    computed over the RAW pre-cleaning lines — post-cleaning they are 0
-    by construction) for FREE: the per-(doc, form) occurrence count
+    ``with_stats``: additionally emit the ``line_stats`` Gopher line
+    signals (``dup_line_frac``, ``dup_line_char_frac``,
+    ``bullet_line_frac``, ``ellipsis_line_frac`` — computed over the
+    RAW pre-cleaning lines; post-cleaning the dup fractions are 0 by
+    construction) for FREE: the per-(doc, form) occurrence count
     rides the existing first-occurrence window (same partition+order
     spec, so one Window operator, zero extra shuffles or scans), and
     the per-doc reductions ride the existing rebuild aggregate. This is
@@ -304,6 +340,12 @@ def clean_lines(
             .otherwise(F.lit(0))
             .alias("_sdup_chars"),
             F.when(ne, F.lit(1)).otherwise(F.lit(0)).alias("_sforms"),
+            F.when(ne & _is_bullet(F.col("form")), F.col("_cnt"))
+            .otherwise(F.lit(0))
+            .alias("_sbullets"),
+            F.when(ne & _is_ellipsis(F.col("form")), F.col("_cnt"))
+            .otherwise(F.lit(0))
+            .alias("_sellipses"),
         ]
     flagged = lines.join(ldf, "form", "left").select(
         "id",
@@ -320,6 +362,8 @@ def clean_lines(
             F.sum("_sforms").alias("_n_forms"),
             F.sum("_schars").alias("_chars"),
             F.sum("_sdup_chars").alias("_dup_chars"),
+            F.sum("_sbullets").alias("_bullets"),
+            F.sum("_sellipses").alias("_ellipses"),
         ]
     rebuilt = flagged.groupBy("id").agg(
         F.concat_ws(
@@ -352,6 +396,18 @@ def clean_lines(
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_line_char_frac"),
+            F.round(
+                F.when(
+                    F.col("_n_ne") > 0, F.col("_bullets") / F.col("_n_ne")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("bullet_line_frac"),
+            F.round(
+                F.when(
+                    F.col("_n_ne") > 0, F.col("_ellipses") / F.col("_n_ne")
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ellipsis_line_frac"),
         ]
     return rebuilt.select(
         F.col("id").alias(id_col),

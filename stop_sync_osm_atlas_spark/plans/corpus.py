@@ -37,7 +37,8 @@ from pyspark.sql import Window as W
 
 from ..functions.langid import langid_hashed_ngram_udf
 from ..functions.perplexity import perplexity_udf
-from ..functions.text import is_blank, n_words
+from ..fixtures.norm_tables import ALL_STOPWORDS
+from ..functions.text import is_blank, n_words, token_set_hits, trim_ws
 from ..functions.training import train_models_fused
 from ..operators.dedup import minhash_lsh_pairs, remove_duplicated_spans
 from ..operators.lines import clean_lines, ngram_stats
@@ -55,6 +56,11 @@ def prepare_corpus(
     max_dup_line_char_frac: float = 0.20,
     max_top_ngram_char_frac: dict[int, float] | None = None,
     max_dup_ngram_char_frac: dict[int, float] | None = None,
+    max_bullet_line_frac: float | None = 0.90,
+    max_ellipsis_line_frac: float | None = 0.30,
+    word_len_range: tuple[float, float] | None = (3.0, 10.0),
+    min_alpha_word_frac: float | None = 0.80,
+    min_stopword_hits: int | None = 2,
     exact_fp_prefix: int | None = None,
     remove_dup_spans_k: int | None = None,
     remove_dup_spans_min_docs: int = 2,
@@ -63,9 +69,10 @@ def prepare_corpus(
 
     ``decisions``: (doc_id, lang, decision, reason, n_tok) — one row per
     input doc; decision in {keep, drop}; reason is the first matching
-    rule (exact_dup / near_dup / high_line_repetition / empty /
-    too_short / high_ngram_repetition / high_perplexity /
-    langid_mismatch) or 'keep'.
+    rule (exact_dup / near_dup / high_line_repetition /
+    high_bullet_lines / high_ellipsis_lines / empty / too_short /
+    high_ngram_repetition / word_length_outlier / low_alpha_ratio /
+    low_stopword_count / high_perplexity / langid_mismatch) or 'keep'.
     ``bins``: pack_bins output over the kept docs.
 
     ``max_dup_line_frac`` / ``max_dup_line_char_frac``: the Gopher /
@@ -99,6 +106,27 @@ def prepare_corpus(
     judged on n-gram repetition. The LINE gate, by contrast, stays
     ahead of the length gates because it scores the RAW text that
     cleaning would collapse.
+
+    ``max_bullet_line_frac`` / ``max_ellipsis_line_frac``: the Gopher
+    FORMAT filters over the RAW lines (``line_stats``'s
+    ``bullet_line_frac`` / ``ellipsis_line_frac``, riding the same
+    cleaning window at zero extra scans): a listing/snippet page —
+    > 90% bullet-starting or > 30% ellipsis-ending non-empty lines —
+    drops with reason ``high_bullet_lines`` / ``high_ellipsis_lines``,
+    placed right after the line-repetition gate (same raw-line signal
+    family). ``None`` disables either dial.
+
+    ``word_len_range`` / ``min_alpha_word_frac`` / ``min_stopword_hits``:
+    the Gopher WORD filters over the CLEANED tokens, evaluated after
+    the length gates like the n-gram gate (word statistics are noise on
+    tiny docs): mean word length outside [3, 10] -> ``word_length_outlier``
+    (machine strings / CJK-without-spaces shape), < 80% of tokens
+    containing a letter -> ``low_alpha_ratio`` (tables, logs, code
+    dumps), fewer than 2 stopword occurrences (the fixtures' pooled
+    multilingual list — Gopher's English-only list generalized) ->
+    ``low_stopword_count`` (keyword-stuffing shape). All three are
+    single codegen'd expressions on the scored projection — no extra
+    scan, shuffle, or UDF. ``None`` disables each.
 
     ``remove_dup_spans_k``: off by default (``None``). When set, the
     ExactSubstr removal transform
@@ -222,9 +250,72 @@ def prepare_corpus(
         # threshold, removing last-ulp boundary flips.
         .withColumn("_ppl", F.round(ppl(F.col("text_clean")), 4))
         .withColumn("n_tok", n_words(F.col("text_clean")))
+        # Gopher word statistics, all single codegen'd expressions over
+        # the cleaned text (no explode): total token chars = length with
+        # every \s stripped; tokens containing a letter counted by one
+        # regexp_count pass (the (?:^|\s) boundary consumes at most the
+        # separating space, so adjacent tokens all count); stopword hits
+        # reuse functions.text.token_set_hits. Rounded to 6 like every
+        # mirrored fraction so both engines threshold the same value.
+        .withColumn(
+            "_norm_tc", F.lower(trim_ws(F.col("text_clean")))
+        )
+        .withColumn(
+            "_mean_wlen",
+            F.round(
+                F.when(
+                    F.col("n_tok") > 0,
+                    F.length(F.regexp_replace(F.col("_norm_tc"), r"\s", ""))
+                    / F.col("n_tok"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "_alpha_frac",
+            F.round(
+                F.when(
+                    F.col("n_tok") > 0,
+                    F.regexp_count(
+                        F.col("_norm_tc"), F.lit(r"(?:^|\s)[^\s]*[a-z]")
+                    )
+                    / F.col("n_tok"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ),
+        )
+        .withColumn(
+            "_sw_hits", token_set_hits(F.col("text_clean"), ALL_STOPWORDS)
+        )
     )
     for ng in ng_join:
         scored = scored.join(ng, "doc_id")
+    bullet_cond = (
+        F.lit(False)
+        if max_bullet_line_frac is None
+        else F.col("bullet_line_frac") > F.lit(max_bullet_line_frac)
+    )
+    ellipsis_cond = (
+        F.lit(False)
+        if max_ellipsis_line_frac is None
+        else F.col("ellipsis_line_frac") > F.lit(max_ellipsis_line_frac)
+    )
+    wlen_cond = (
+        F.lit(False)
+        if word_len_range is None
+        else (F.col("_mean_wlen") < F.lit(float(word_len_range[0])))
+        | (F.col("_mean_wlen") > F.lit(float(word_len_range[1])))
+    )
+    alpha_cond = (
+        F.lit(False)
+        if min_alpha_word_frac is None
+        else F.col("_alpha_frac") < F.lit(min_alpha_word_frac)
+    )
+    sw_cond = (
+        F.lit(False)
+        if min_stopword_hits is None
+        else F.col("_sw_hits") < F.lit(min_stopword_hits)
+    )
     reason = (
         F.when(F.col("_fp_rk") > 1, F.lit("exact_dup"))
         .when(F.col("_near"), F.lit("near_dup"))
@@ -233,9 +324,14 @@ def prepare_corpus(
             | (F.col("dup_line_char_frac") > F.lit(max_dup_line_char_frac)),
             F.lit("high_line_repetition"),
         )
+        .when(bullet_cond, F.lit("high_bullet_lines"))
+        .when(ellipsis_cond, F.lit("high_ellipsis_lines"))
         .when(is_blank(F.col("text_clean")), F.lit("empty"))
         .when(F.col("n_tok") < min_words, F.lit("too_short"))
         .when(ngram_cond, F.lit("high_ngram_repetition"))
+        .when(wlen_cond, F.lit("word_length_outlier"))
+        .when(alpha_cond, F.lit("low_alpha_ratio"))
+        .when(sw_cond, F.lit("low_stopword_count"))
         .when(F.col("_ppl") > ppl_threshold, F.lit("high_perplexity"))
         .when(F.col("_lid.lang") != F.col("lang"), F.lit("langid_mismatch"))
         .otherwise(F.lit("keep"))

@@ -250,3 +250,70 @@ def test_remove_dup_spans_stage(spark):
         assert dec_on.loc[f"b{i}", "n_tok"] == 12  # 13-token block gone
     assert dec_on.loc["ctrl", "n_tok"] == 11
     assert dec_off.loc["ctrl", "n_tok"] == 11
+
+
+def test_gopher_format_and_word_rules(spark):
+    """The round-5 Gopher completion, one planted doc per new gate at
+    DEFAULT dials: >90% bullet-start lines -> high_bullet_lines; >30%
+    ellipsis-end lines -> high_ellipsis_lines (both on RAW lines,
+    after the repetition gate); mean word length > 10 ->
+    word_length_outlier; < 80% alpha-bearing tokens -> low_alpha_ratio;
+    < 2 pooled-stopword hits -> low_stopword_count (all on CLEANED
+    tokens, after the length/ngram gates and in that order — the
+    long-words doc has zero stopwords but reports the earlier reason).
+    Controls with body text keep passing every gate; passing None
+    disables a dial."""
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    body = "the quick brown fox jumps with the lazy dog again today"
+    rows = [
+        # 10 non-empty lines, all bullets, all distinct (no line dup)
+        ("bul", "\n".join(f"- item number {i} here" for i in range(10)), "en"),
+        # 2 of 4 lines end with ellipses (one '...', one '…')
+        ("ell", "teaser one...\nplain line here\nteaser two…\n"
+                "the festival opens with music and lights tonight", "en"),
+        # 12 distinct 21-char tokens: mean word length >> 10, but long
+        # enough that the (unique) top bigram stays under the 0.20
+        # n-gram dial; zero stopwords too, so this also pins the gate
+        # ORDER (word_length_outlier beats low_stopword_count)
+        ("wlen", " ".join(f"hypervirtualization{i:02d}" for i in range(12)),
+         "en"),
+        # 12 tokens of which only 2 contain a letter (2/12 < 0.80)
+        ("alpha", "the 123 456 789 012 345 678 901 234 567 890 and1", "en"),
+        # enough normal-length distinct alpha words, but zero pooled
+        # stopword hits
+        ("stop", "quick brown foxes jump over lazy dogs every single "
+                 "morning without rest near rivers under bridges beyond "
+                 "quiet hills", "en"),
+    ]
+    for i in range(4):
+        rows.append((f"c{i}", f"{body} {i}\nsecond line {i} differs", "en"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    decisions, _ = prepare_corpus(df)
+    dec = decisions.toPandas().set_index("doc_id")
+    decisions.unpersist()
+    assert dec.loc["bul", "reason"] == "high_bullet_lines"
+    assert dec.loc["ell", "reason"] == "high_ellipsis_lines"
+    assert dec.loc["wlen", "reason"] == "word_length_outlier"
+    assert dec.loc["alpha", "reason"] == "low_alpha_ratio"
+    assert dec.loc["stop", "reason"] == "low_stopword_count"
+    ctrl = dec[dec.index.str.startswith("c")]
+    new = {"high_bullet_lines", "high_ellipsis_lines", "word_length_outlier",
+           "low_alpha_ratio", "low_stopword_count"}
+    assert not set(ctrl["reason"]) & new
+
+    # disabling the dials lets each planted doc fall through to a
+    # DIFFERENT rule (or keep)
+    decisions2, _ = prepare_corpus(
+        df,
+        max_bullet_line_frac=None,
+        max_ellipsis_line_frac=None,
+        word_len_range=None,
+        min_alpha_word_frac=None,
+        min_stopword_hits=None,
+    )
+    dec2 = decisions2.toPandas().set_index("doc_id")
+    decisions2.unpersist()
+    assert not set(dec2["reason"]) & new

@@ -430,8 +430,13 @@ def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     for did in expect:
         assert (ws[did]["text_clean"], ws[did]["n_lines_in"],
                 ws[did]["n_lines_kept"]) == expect[did]
-        assert ws[did]["dup_line_frac"] == ls[did]["dup_line_frac"], did
-        assert ws[did]["dup_line_char_frac"] == ls[did]["dup_line_char_frac"], did
+        for c in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+        ):
+            assert ws[did][c] == ls[did][c], (did, c)
 
 
 def test_line_stats_gopher_repetition(spark):
@@ -461,6 +466,39 @@ def test_line_stats_gopher_repetition(spark):
     assert out.loc["clean", "dup_line_frac"] == 0.0
     assert out.loc["empty", "n_lines"] == 0
     assert out.loc["empty", "dup_line_char_frac"] == 0.0
+
+
+def test_line_stats_format_fractions(spark):
+    """Gopher format signals: bullet-start ('•-*●', occurrence-weighted,
+    tab-padded and upper-case lines normalize first) and ellipsis-end
+    ('...' or '…') line fractions; a line that is BOTH counts in both;
+    clean and empty docs are zeros."""
+    from stop_sync_osm_atlas_spark.operators.lines import line_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["listy", "dots", "both", "clean", "empty"],
+                "text": [
+                    "- item one\n\t* Item Two\nintro\n- item one",
+                    "read more...\nfull story…\nbody",
+                    "- teaser...\nplain",
+                    "one\ntwo",
+                    " \n ",
+                ],
+            }
+        )
+    )
+    out = line_stats(docs).toPandas().set_index("doc_id")
+    # 4 non-empty lines, 3 bullet occurrences ('- item one' twice + '* item two')
+    assert out.loc["listy", "bullet_line_frac"] == 0.75
+    assert out.loc["listy", "ellipsis_line_frac"] == 0.0
+    assert out.loc["dots", "ellipsis_line_frac"] == round(2 / 3, 6)
+    assert out.loc["dots", "bullet_line_frac"] == 0.0
+    assert out.loc["both", "bullet_line_frac"] == 0.5
+    assert out.loc["both", "ellipsis_line_frac"] == 0.5
+    assert out.loc["clean", "bullet_line_frac"] == 0.0
+    assert (out.loc["empty", ["bullet_line_frac", "ellipsis_line_frac"]] == 0.0).all()
 
 
 def test_ngram_stats_gopher_repetition(spark):

@@ -30,6 +30,7 @@ from stop_sync_osm_atlas_spark.fixtures.norm_tables import (
 from stop_sync_osm_atlas_spark.functions import text as TX
 from stop_sync_osm_atlas_spark.functions.langid import langid_marker_cols
 from stop_sync_osm_atlas_spark.operators import dedup as DD
+from stop_sync_osm_atlas_spark.operators.lines import BULLET_CHARS, ELLIPSES
 from stop_sync_osm_atlas_spark.operators import scrub as SC
 from stop_sync_osm_atlas_spark.operators import similarity as SIM
 from stop_sync_osm_atlas_spark.operators.rules import (
@@ -156,6 +157,21 @@ def _ngram_ctes(
   FROM {src} s LEFT JOIN {tag}_doc USING (doc_id)
 )"""
     return ctes, tag
+
+
+def _sql_line_format_sums() -> str:
+    """Per-doc bullet/ellipsis occurrence sums over (form, c) rows —
+    interpolated from operators/lines.BULLET_CHARS / ELLIPSES so the
+    charset has ONE source of truth across the engine and both oracle
+    bodies (q20 ls_doc, q02 lsd)."""
+    bullets = ", ".join(f"'{b}'" for b in BULLET_CHARS)
+    ell = " OR ".join(f"form LIKE '%{e}'" for e in ELLIPSES)
+    return (
+        f"sum(CASE WHEN substr(form, 1, 1) IN ({bullets})\n"
+        f"             THEN c ELSE 0 END) AS bullets,\n"
+        f"    sum(CASE WHEN {ell}\n"
+        f"             THEN c ELSE 0 END) AS ellipses"
+    )
 
 
 def _sql_symbol_ratio(col: str) -> str:
@@ -1297,10 +1313,7 @@ ls_form AS (
 ls_doc AS (
   SELECT doc_id, sum(c) AS n_lines, sum(c) - count(*) AS dups,
     sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars,
-    sum(CASE WHEN substr(form, 1, 1) IN ('•', '-', '*', '●')
-             THEN c ELSE 0 END) AS bullets,
-    sum(CASE WHEN form LIKE '%...' OR form LIKE '%…'
-             THEN c ELSE 0 END) AS ellipses
+    {_sql_line_format_sums()}
   FROM ls_form GROUP BY doc_id
 ),
 ls AS (
@@ -1731,10 +1744,7 @@ lsf AS (
 lsd AS (
   SELECT doc_id, sum(c) AS n_l, sum(c) - count(*) AS dups,
     sum(c * len) AS chars, sum((c - 1) * len) AS dup_chars,
-    sum(CASE WHEN substr(form, 1, 1) IN ('•', '-', '*', '●')
-             THEN c ELSE 0 END) AS bullets,
-    sum(CASE WHEN form LIKE '%...' OR form LIKE '%…'
-             THEN c ELSE 0 END) AS ellipses
+    {_sql_line_format_sums()}
   FROM lsf GROUP BY doc_id
 ),
 {_ppl_ctes_for(score='clean', train='surv')},
@@ -1751,7 +1761,7 @@ sig0 AS (
     (g.top_2gram_char_frac > 0.20 OR g.dup_5gram_char_frac > 0.15)
       AS is_ngram_rep,
     CASE WHEN len({words}) > 0 THEN
-      round(length(regexp_replace(lower(trim(c.text, {_WS})), '\\s', '', 'g'))
+      round(length(regexp_replace(lower(trim(c.text, {_WS})), '[ \\t\\n\\x0b\\x0c\\r]', '', 'g'))
             * 1.0 / len({words}), 6)
       ELSE 0.0 END AS mean_wlen,
     CASE WHEN len({words}) > 0 THEN

@@ -130,6 +130,39 @@ def stopword_density(c: Column, stopwords: list[str]) -> Column:
     return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
 
 
+# Explicit ASCII \s class: Java's \s includes \x0b, RE2's (DuckDB) does
+# not — decision-bearing statistics use this class so both engines
+# strip the same bytes even on vertical-tab text.
+WS_CLASS = r"[ \t\n\x0b\x0c\r]"
+
+
+def mean_word_len(c: Column) -> Column:
+    """Mean token length over ``words(c)``; 0.0 for token-less text
+    (Gopher word filter: outside [3, 10] marks machine strings or
+    unsegmented scripts). Numerator = length with every WS_CLASS char
+    stripped; rounded to 6, the mirror convention, so both engines
+    threshold the same value."""
+    t = F.lower(trim_ws(c))
+    chars = F.length(F.regexp_replace(t, WS_CLASS, ""))
+    return F.round(
+        F.when(n_words(c) > 0, chars / n_words(c)).otherwise(F.lit(0.0)), 6
+    )
+
+
+def alpha_word_frac(c: Column) -> Column:
+    """Fraction of tokens containing at least one ASCII letter; 1.0 for
+    token-less text (Gopher: < 0.8 marks tables/logs/code dumps). One
+    codegen'd regexp_count pass: the ``(?:^|\\s)`` boundary consumes at
+    most the separating whitespace (same idiom as ``token_set_hits``)
+    and the match ends inside the token, so each letter-bearing token
+    counts exactly once."""
+    t = F.lower(trim_ws(c))
+    hits = F.regexp_count(t, F.lit(r"(?:^|\s)[^\s]*[a-z]"))
+    return F.round(
+        F.when(n_words(c) > 0, hits / n_words(c)).otherwise(F.lit(1.0)), 6
+    )
+
+
 # One "token" = a letter run, a digit run, or a single symbol - a cheap
 # deterministic BPE proxy that stays JVM-side (regexp_count, codegen'd).
 BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -38,7 +38,13 @@ from pyspark.sql import Window as W
 from ..functions.langid import langid_hashed_ngram_udf
 from ..functions.perplexity import perplexity_udf
 from ..fixtures.norm_tables import ALL_STOPWORDS
-from ..functions.text import is_blank, n_words, token_set_hits, trim_ws
+from ..functions.text import (
+    alpha_word_frac,
+    is_blank,
+    mean_word_len,
+    n_words,
+    token_set_hits,
+)
 from ..functions.training import train_models_fused
 from ..operators.dedup import minhash_lsh_pairs, remove_duplicated_spans
 from ..operators.lines import clean_lines, ngram_stats
@@ -251,39 +257,10 @@ def prepare_corpus(
         .withColumn("_ppl", F.round(ppl(F.col("text_clean")), 4))
         .withColumn("n_tok", n_words(F.col("text_clean")))
         # Gopher word statistics, all single codegen'd expressions over
-        # the cleaned text (no explode): total token chars = length with
-        # every \s stripped; tokens containing a letter counted by one
-        # regexp_count pass (the (?:^|\s) boundary consumes at most the
-        # separating space, so adjacent tokens all count); stopword hits
-        # reuse functions.text.token_set_hits. Rounded to 6 like every
-        # mirrored fraction so both engines threshold the same value.
-        .withColumn(
-            "_norm_tc", F.lower(trim_ws(F.col("text_clean")))
-        )
-        .withColumn(
-            "_mean_wlen",
-            F.round(
-                F.when(
-                    F.col("n_tok") > 0,
-                    F.length(F.regexp_replace(F.col("_norm_tc"), r"\s", ""))
-                    / F.col("n_tok"),
-                ).otherwise(F.lit(0.0)),
-                6,
-            ),
-        )
-        .withColumn(
-            "_alpha_frac",
-            F.round(
-                F.when(
-                    F.col("n_tok") > 0,
-                    F.regexp_count(
-                        F.col("_norm_tc"), F.lit(r"(?:^|\s)[^\s]*[a-z]")
-                    )
-                    / F.col("n_tok"),
-                ).otherwise(F.lit(1.0)),
-                6,
-            ),
-        )
+        # the cleaned text (no explode) — definitions live with their
+        # siblings in functions/text.py under its three-mirror contract
+        .withColumn("_mean_wlen", mean_word_len(F.col("text_clean")))
+        .withColumn("_alpha_frac", alpha_word_frac(F.col("text_clean")))
         .withColumn(
             "_sw_hits", token_set_hits(F.col("text_clean"), ALL_STOPWORDS)
         )

@@ -371,9 +371,14 @@ def test_clean_lines_matches_pandas_reference_randomized(spark, seed):
     # " spaced " vs "\t spaced \t": collide into ONE form only under the
     # full ASCII-ws trim (space-only trim kept the tabs and split them
     # into different boilerplate classes than this python reference)
+    # bullet-start and ellipsis-end forms included so the fused
+    # with_stats path is exercised with occurrence counts > 1 (random
+    # draws repeat them within a doc) — the c-weighting of the format
+    # fractions is asserted against standalone line_stats below
     vocab = ["alpha beta", "  Cookie Banner  ", "cookie banner", "x", "",
              " nav | home ", "unique-%d", "Tail text here", "\t spaced \t",
-             " spaced "]
+             " spaced ", "- bullet item", "* other bullet", "read more...",
+             " teaser… "]
     docs = []
     for i in range(120):
         n = int(rng.integers(0, 9))

@@ -317,3 +317,52 @@ def test_gopher_format_and_word_rules(spark):
     dec2 = decisions2.toPandas().set_index("doc_id")
     decisions2.unpersist()
     assert not set(dec2["reason"]) & new
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_prepare_corpus_invariants_randomized(spark, seed):
+    """Ladder-wide invariants on random corpora (mixed languages,
+    bullets, ellipses, repetition, numerics, blanks, tab padding):
+    every input doc gets EXACTLY one decision; the reason set is
+    closed over the documented thirteen; keep <=> reason 'keep'; every
+    kept doc meets the min_words floor; bins conserve kept n_tok."""
+    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+
+    rng = np.random.default_rng(seed)
+    frag = [
+        "the quick brown fox", "- bullet item", "read more...",
+        "und der die das", "buy now buy now", "1234 5678",
+        "plain body text with words", "", " \t ",
+        "x" * 30, "et la le les dans",
+    ]
+    rows = []
+    for i in range(150):
+        n = int(rng.integers(0, 8))
+        text = "\n".join(
+            frag[int(rng.integers(0, len(frag)))] for _ in range(n)
+        )
+        lang = ["en", "de", "fr", "it"][int(rng.integers(0, 4))]
+        rows.append((f"d{i:03d}", text, lang))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+    decisions, bins = prepare_corpus(df)
+    dec = decisions.toPandas()
+    nb = bins.toPandas()
+    decisions.unpersist()
+
+    assert len(dec) == len(rows)
+    assert dec["doc_id"].is_unique
+    allowed = {
+        "keep", "exact_dup", "near_dup", "high_line_repetition",
+        "high_bullet_lines", "high_ellipsis_lines", "empty", "too_short",
+        "high_ngram_repetition", "word_length_outlier", "low_alpha_ratio",
+        "low_stopword_count", "high_perplexity", "langid_mismatch",
+    }
+    assert set(dec["reason"]) <= allowed
+    assert ((dec["decision"] == "keep") == (dec["reason"] == "keep")).all()
+    kept = dec[dec["decision"] == "keep"]
+    assert (kept["n_tok"] >= 5).all()
+    # packing conserves every kept doc and token exactly once
+    assert nb["n_docs"].sum() == len(kept)
+    assert nb["total_tokens"].sum() == kept["n_tok"].sum()

@@ -53,13 +53,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # SQL snippet helpers (single source of truth: fixtures/norm_tables.py)
 # ---------------------------------------------------------------------------
 
+# Explicit ASCII-whitespace regex class (functions/text.WS_CLASS twin):
+# RE2's \s EXCLUDES \x0b while Java's includes it, so every oracle
+# split/collapse pattern uses this class — both engines cut identical
+# bytes even on vertical-tab text.
+_WS_RE = "[ \\t\\n\\x0b\\x0c\\r]"
+
+
 def _sql_words(col: str) -> str:
     # trim on the full ASCII-whitespace charset (_WS), mirroring
     # functions/text.words: space-only trim leaves tab/CRLF padding that
-    # splits into phantom '' tokens and inflates every word count
+    # splits into phantom '' tokens and inflates every word count;
+    # split on the explicit _WS_RE class (RE2 \s would skip \x0b)
     return (
         f"CASE WHEN {col} IS NOT NULL AND trim({col}, {_WS}) <> '' "
-        f"THEN string_split_regex(lower(trim({col}, {_WS})), '\\s+') "
+        f"THEN string_split_regex(lower(trim({col}, {_WS})), '{_WS_RE}+') "
         f"ELSE [] END"
     )
 
@@ -175,8 +183,8 @@ def _sql_line_format_sums() -> str:
 
 
 def _sql_symbol_ratio(col: str) -> str:
-    nospace = f"regexp_replace(coalesce({col}, ''), '\\s+', '', 'g')"
-    clean = f"regexp_replace({nospace}, '[^A-Za-z0-9\\s]', '', 'g')"
+    nospace = f"regexp_replace(coalesce({col}, ''), '{_WS_RE}+', '', 'g')"
+    clean = f"regexp_replace({nospace}, '[^A-Za-z0-9 \\t\\n\\x0b\\x0c\\r]', '', 'g')"
     return (
         f"CASE WHEN length({nospace}) > 0 "
         f"THEN (length({nospace}) - length({clean})) * 1.0 / length({nospace}) "
@@ -1290,7 +1298,7 @@ def _oracle_q20() -> str:
         f"CASE WHEN {nw} > 0 THEN len(list_filter({words}, x -> "
         f"list_contains({_sql_list(ALL_STOPWORDS)}, x))) * 1.0 / {nw} ELSE 0.0 END"
     )
-    tok = "len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    tok = "len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\x0c\\r]'))"
     return f"""
 WITH base AS (
   SELECT lang,
@@ -1918,7 +1926,7 @@ ss AS (
 )
 SELECT p.doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
   (caption IS NOT NULL AND {_sql_scrub('caption')} <> caption) AS was_scrubbed,
-  md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '\\s+', ' ', 'g'), 1, 64)) AS fp,
+  md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '{_WS_RE}+', ' ', 'g'), 1, 64)) AS fp,
   coalesce(ct.n_shingles, 0) AS n_shingles,
   coalesce(ct.n_contaminated, 0) AS n_contaminated,
   round(coalesce(ct.n_contaminated * 1.0 / ct.n_shingles, 0.0), 6) AS overlap_frac,
@@ -2272,11 +2280,11 @@ SELECT user_id, n_sessions, n_events, 'stream' AS mode FROM sess
         "q21_exact_dedup": f"""
 WITH fp10k AS (
   SELECT doc_id,
-    md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '\\s+', ' ', 'g'), 1, 10000)) AS fp
+    md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '{_WS_RE}+', ' ', 'g'), 1, 10000)) AS fp
   FROM documents
 ), fp48 AS (
   SELECT doc_id,
-    md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '\\s+', ' ', 'g'), 1, 48)) AS fp
+    md5(substr(regexp_replace(lower(trim(coalesce(text, ''), {_WS})), '{_WS_RE}+', ' ', 'g'), 1, 48)) AS fp
   FROM documents
 )
 SELECT doc_id, fp,
@@ -2362,7 +2370,7 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
         "q50_sequence_pack": f"""
 WITH toks AS (
   SELECT lang, doc_id,
-    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\x0c\\r]')) AS tok
   FROM documents
 ), binned AS (
   SELECT lang, doc_id, tok,
@@ -2447,7 +2455,7 @@ SELECT * FROM strict UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM suffix
         "q45_hash_sample": """
 WITH toks AS (
   SELECT doc_id, lang,
-    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tok
+    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\x0c\\r]')) AS tok
   FROM documents
 ), tot AS (
   SELECT lang, CAST(sum(tok) AS BIGINT) AS tokens FROM toks GROUP BY lang
@@ -2510,7 +2518,7 @@ WHERE n_cand > 1 AND n_tie = 1 AND p_brand = 'Brand#11'
         "q37_token_match": f"""
 WITH dim(token, prio, lang) AS (VALUES ('der', 1, 'de'), ('die', 1, 'de'), ('das', 1, 'de'), ('und', 1, 'de'), ('ein', 1, 'de'), ('mit', 1, 'de'), ('auf', 1, 'de'), ('ist', 1, 'de'), ('von', 1, 'de'), ('zu', 1, 'de'), ('the', 2, 'en'), ('and', 2, 'en'), ('of', 2, 'en'), ('to', 2, 'en'), ('a', 2, 'en'), ('in', 2, 'en'), ('is', 2, 'en'), ('with', 2, 'en'), ('on', 2, 'en'), ('for', 2, 'en'), ('le', 3, 'fr'), ('la', 3, 'fr'), ('les', 3, 'fr'), ('et', 3, 'fr'), ('un', 3, 'fr'), ('une', 3, 'fr'), ('dans', 3, 'fr'), ('est', 3, 'fr'), ('avec', 3, 'fr'), ('sur', 3, 'fr'), ('il', 4, 'it'), ('la', 4, 'it'), ('di', 4, 'it'), ('e', 4, 'it'), ('un', 4, 'it'), ('una', 4, 'it'), ('con', 4, 'it'), ('per', 4, 'it'), ('sono', 4, 'it'), ('del', 4, 'it')),
 toks AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text, {_WS})), '\\s+'))) AS token
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text, {_WS})), '{_WS_RE}+'))) AS token
   FROM documents
 )
 SELECT doc_id, min(prio) AS best_prio, count(*) AS n_matched_tokens
@@ -2547,7 +2555,7 @@ WITH pairs AS (
   FROM documents
 )
 SELECT DISTINCT
-  md5(substr(regexp_replace(lower(trim(coalesce(caption, ''), {_WS})), '\\s+', ' ', 'g'), 1, 10000)) AS fp
+  md5(substr(regexp_replace(lower(trim(coalesce(caption, ''), {_WS})), '{_WS_RE}+', ' ', 'g'), 1, 10000)) AS fp
 FROM pairs
 """,
         # same planted ground truth as q24 — the bands bridge must

@@ -18,13 +18,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Non-alphanumeric, non-whitespace — the "symbol" class. Kept ASCII-simple
-# so Java regex (Spark), RE2 (DuckDB) and Python re agree byte-for-byte.
-SYMBOL_CLASS = r"[^A-Za-z0-9\s]"
-WS_SPLIT = r"\s+"
-# Java's \s, exactly — the canonical ASCII-whitespace charset every
-# Python-side mirror strips (see trim_ws below); the DuckDB twin is the
-# _WS chr()-list in __spark_entry__.py
+# Explicit ASCII \s class: Java's \s is exactly this set, Python's is
+# too under re.ASCII, but RE2 (DuckDB) EXCLUDES \x0b from \s — every
+# decision-bearing split/strip uses this explicit class so all three
+# engines cut the same bytes even on vertical-tab text (the residual
+# divergence the old \s+ patterns carried).
+WS_CLASS = r"[ \t\n\x0b\x0c\r]"
+# Non-alphanumeric, non-whitespace — the "symbol" class. Explicit
+# charset for the same RE2-\x0b reason as WS_CLASS.
+SYMBOL_CLASS = r"[^A-Za-z0-9 \t\n\x0b\x0c\r]"
+WS_SPLIT = WS_CLASS + "+"
+# The same charset as a chr-list — what the Python mirrors strip; the
+# DuckDB twin is the _WS chr()-list in __spark_entry__.py
 ASCII_WS = " \t\n\x0b\x0c\r"
 
 
@@ -41,11 +46,13 @@ def trim_ws(c: Column) -> Column:
     exactly the ASCII set, which Python mirrors with ``re.ASCII`` and
     DuckDB with an explicit trim charset (the ``_WS`` constant in
     ``__spark_entry__.py``); \\xa0 (NBSP) is whitespace in NO mirror.
-    Residual: RE2 (DuckDB) excludes \\x0b from \\s, so a vertical-tab
-    BOUNDARY inside text splits differently there — trim itself is
-    charset-exact in all three engines.
+    The interior-split divergence RE2's \\s carried (\\x0b excluded) is
+    closed too: every split/strip pattern in all three engines now uses
+    the explicit ``WS_CLASS`` charset, never \\s.
     """
-    return F.regexp_replace(F.coalesce(c, F.lit("")), r"^\s+|\s+$", "")
+    return F.regexp_replace(
+        F.coalesce(c, F.lit("")), rf"^{WS_CLASS}+|{WS_CLASS}+$", ""
+    )
 
 
 def is_blank(c: Column) -> Column:
@@ -114,7 +121,10 @@ def token_set_hits(c: Column, tokens: list[str]) -> Column:
     import re as _re
 
     alt = "|".join(_re.escape(t) for t in tokens)
-    return F.regexp_count(norm_text(F.coalesce(c, F.lit(""))), F.lit(rf"(?:^|\s)(?:{alt})(?=\s|$)"))
+    return F.regexp_count(
+        norm_text(F.coalesce(c, F.lit(""))),
+        F.lit(rf"(?:^|{WS_CLASS})(?:{alt})(?={WS_CLASS}|$)"),
+    )
 
 
 def stopword_density(c: Column, stopwords: list[str]) -> Column:
@@ -128,12 +138,6 @@ def stopword_density(c: Column, stopwords: list[str]) -> Column:
     w = words(c)
     hits = token_set_hits(c, stopwords)
     return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
-
-
-# Explicit ASCII \s class: Java's \s includes \x0b, RE2's (DuckDB) does
-# not — decision-bearing statistics use this class so both engines
-# strip the same bytes even on vertical-tab text.
-WS_CLASS = r"[ \t\n\x0b\x0c\r]"
 
 
 def mean_word_len(c: Column) -> Column:
@@ -157,7 +161,9 @@ def alpha_word_frac(c: Column) -> Column:
     and the match ends inside the token, so each letter-bearing token
     counts exactly once."""
     t = F.lower(trim_ws(c))
-    hits = F.regexp_count(t, F.lit(r"(?:^|\s)[^\s]*[a-z]"))
+    hits = F.regexp_count(
+        t, F.lit(rf"(?:^|{WS_CLASS})[^ \t\n\x0b\x0c\r]*[a-z]")
+    )
     return F.round(
         F.when(n_words(c) > 0, hits / n_words(c)).otherwise(F.lit(1.0)), 6
     )
@@ -165,7 +171,8 @@ def alpha_word_frac(c: Column) -> Column:
 
 # One "token" = a letter run, a digit run, or a single symbol - a cheap
 # deterministic BPE proxy that stays JVM-side (regexp_count, codegen'd).
-BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Explicit whitespace charset for the same RE2-\x0b reason as WS_CLASS.
+BPE_ISH_TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\x0c\r]"
 
 
 def token_count_bpe_ish(c: Column) -> Column:

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..functions.text import fingerprint, norm_text
+from ..functions.text import fingerprint, words
 
 # MinHash parameters — shared with the DuckDB oracle SQL (keep in sync
 # with __spark_entry__.py). Mersenne prime modulus keeps (a*x+b) % p
@@ -49,8 +49,14 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     the array end throws under ANSI mode (the Spark 4 default) — so the
     old greatest(..., 0) clamp let one sub-n-word document kill the
     whole job with INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+
+    Tokenization is ``functions.text.words`` (lower + full-ASCII trim +
+    explicit-charset split) — the repo-wide convention the SQL oracle's
+    ``_sql_words`` mirrors. The old ``split(norm_text, \\s+)`` kept
+    phantom '' boundary tokens on tab/CRLF-padded text, yielding
+    shingles like 'bar baz ' only on the Spark side.
     """
-    w = F.split(norm_text(c), r"\s+")
+    w = words(c)
     idx = F.when(
         F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -69,11 +75,15 @@ def shingle_rows(
     interpreted per element — which measured ~30x slower than this
     fully codegen'd explode + window + distinct pipeline at sf0.1.
     Documents with fewer than ``n`` words yield no rows (same contract
-    as the array builder + size guard).
+    as the array builder + size guard). Tokens come from
+    ``functions.text.words`` — the repo-wide tokenization the SQL
+    oracle mirrors (full-ASCII trim, explicit-charset split, so no
+    phantom '' boundary tokens on padded text and no RE2-vs-Java \\x0b
+    split skew).
     """
-    w = F.split(norm_text(F.col(text_col)), r"\s+")
     toks = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(w).alias("pos", "w")
+        F.col(id_col).alias("id"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w"),
     )
     win = W.partitionBy("id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", k).over(win) for k in range(1, n)]
@@ -83,7 +93,7 @@ def shingle_rows(
         F.lead("w", n - 1).over(win).alias("_last"),
     )
     return (
-        sh.where(F.col("_last").isNotNull() & (F.trim(F.col("shingle")) != ""))
+        sh.where(F.col("_last").isNotNull())
         .select("id", "shingle")
         .distinct()
     )
@@ -357,9 +367,8 @@ def simhash_table(
     toks = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode(F.split(norm_text(F.col(text_col)), r"\s+")).alias("w"),
+            F.explode(words(F.col(text_col))).alias("w"),
         )
-        .where(F.col("w") != "")
         .distinct()
     )
     h = md5_int(F.col("w"), hex_chars=15)
@@ -396,7 +405,7 @@ def simhash64(c: Column, n: int = 1) -> Column:
     Uses 60-bit md5-derived hashes (15 hex chars).
     """
     hashes = F.transform(
-        F.array_distinct(F.split(norm_text(c), r"\s+")),
+        F.array_distinct(words(c)),
         lambda w: md5_int(w, hex_chars=15),
     )
     bits = []
@@ -430,8 +439,6 @@ def _covered_token_frame(
     as a window max over the k-1 preceding gram starts — positions are
     dense, so ROWS == RANGE).
     """
-    from ..functions.text import words
-
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(words(F.col(text_col))).alias("pos", "tok"),

@@ -20,11 +20,12 @@ import pandas as pd
 from ..fixtures.norm_tables import ALL_STOPWORDS, LANGS, PII_PATTERNS, STOPWORDS, TOXICITY_TERMS
 from ..operators.rules import RULE_DECISION, RULE_PRIORITY, RULE_SEVERITY, RuleConfig
 
-# re.ASCII pins \s to Java's ASCII set (Python's default \s also
-# matches \xa0 etc., which the Catalyst mirror does not)
+# Explicit ASCII whitespace class (functions/text.WS_CLASS twin):
+# re.ASCII \s equals it, but the engines standardized on the explicit
+# charset (RE2/DuckDB's \s excludes \x0b) — mirror it verbatim here.
 _ASCII_WS = " \t\n\x0b\x0c\r"
-_SYMBOL_RE = re.compile(r"[^A-Za-z0-9\s]", re.ASCII)
-_WS_RE = re.compile(r"\s+", re.ASCII)
+_SYMBOL_RE = re.compile(r"[^A-Za-z0-9 \t\n\x0b\x0c\r]")
+_WS_RE = re.compile(r"[ \t\n\x0b\x0c\r]+")
 _TOX_RE = re.compile(r"\b(" + "|".join(re.escape(t) for t, _ in TOXICITY_TERMS) + r")\b")
 _PLACEHOLDER_RE = re.compile(r"<EMAIL>|<URL>|<PHONE>|<ID>|<TOX>")
 

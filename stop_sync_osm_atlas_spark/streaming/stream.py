@@ -126,8 +126,11 @@ def stage_and_drain(
         f"/tmp/spark_graft_{query_name}_"
         f"{hashlib.md5(tag.encode()).hexdigest()[:10]}_p{os.getpid()}"
     )
-    df.write.mode("overwrite").parquet(tmp)
+    # the staging write sits INSIDE the try so a mid-write failure
+    # (disk full, serialization error) still hits the finally rmtree —
+    # the docstring's exception-safe-cleanup claim covers the write too
     try:
+        df.write.mode("overwrite").parquet(tmp)
         q = (
             make_stream(spark, tmp)
             .writeStream.outputMode(output_mode)

@@ -868,3 +868,92 @@ def test_substring_duplication_matches_python_reference(spark, seed):
             t for i, t in enumerate(toks) if i not in covered
         )
         assert row["text_dedup"] == exp_txt, (did, text)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-padded / vertical-tab tokenization: the three-mirror contract
+# ---------------------------------------------------------------------------
+
+_PADDED_DOCS = [
+    (1, "\tfoo bar baz\r\n"),              # tab/CRLF padding
+    (2, "foo bar baz"),                     # clean twin of 1
+    (3, "  foo\x0bbar  baz\t"),            # interior vertical tab
+    (4, "\n\n Alpha\tbeta\x0c gamma \r"),  # mixed padding + case
+    (5, "\x0b\x0b"),                        # whitespace-only
+    (6, None),                              # null
+]
+
+
+def test_padded_text_words_three_mirrors_agree(spark):
+    """functions.text.words (Spark), _sql_words (DuckDB) and the pandas
+    oracle's _words must tokenize boundary-padded and vertical-tab text
+    IDENTICALLY — the whitespace charset is explicit in all three, so
+    RE2's \\s-excludes-\\x0b quirk cannot skew token boundaries, and no
+    phantom '' boundary tokens appear on padded input."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from stop_sync_osm_atlas_spark.functions.text import words
+    from stop_sync_osm_atlas_spark.oracle.oracle import _words as py_words
+
+    pdf = pd.DataFrame(_PADDED_DOCS, columns=["doc_id", "text"])
+    df = spark.createDataFrame(pdf)
+    got_spark = {
+        r.doc_id: list(r.w)
+        for r in df.select("doc_id", words(F.col("text")).alias("w")).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = f"SELECT doc_id, {entry._sql_words('text')} AS w FROM documents"
+    got_duck = {r[0]: list(r[1]) for r in con.execute(sql).fetchall()}
+    got_py = {d: py_words(t) for d, t in _PADDED_DOCS}
+    assert got_spark == got_duck == got_py
+    assert all("" not in v for v in got_spark.values())
+    assert got_spark[1] == got_spark[2] == ["foo", "bar", "baz"]
+    assert got_spark[3] == ["foo", "bar", "baz"]
+    assert got_spark[5] == [] and got_spark[6] == []
+
+
+def test_padded_text_shingles_and_hashes_match_clean_twin(spark):
+    """A doc differing from its twin only by tab/CRLF/formfeed padding
+    must produce IDENTICAL shingles, minhash signatures, simhash and
+    word_shingles — the regression the old split(norm_text, \\s+)
+    tokenization failed (phantom boundary tokens -> phantom shingles
+    like 'bar baz ' on the Spark side only)."""
+    rows = [
+        (1, "\t the quick\r\nbrown fox jumps over the lazy dog \x0c"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    sh = DD.shingle_rows(docs).toPandas()
+    s1 = set(sh[sh.id == 1].shingle)
+    s2 = set(sh[sh.id == 2].shingle)
+    assert s1 == s2 and len(s1) == 7  # 9 tokens -> 7 trigrams (distinct)
+
+    ws = docs.select(
+        "doc_id", DD.word_shingles(F.col("text")).alias("sh")
+    ).toPandas()
+    w1, w2 = (set(ws[ws.doc_id == i].iloc[0]["sh"]) for i in (1, 2))
+    assert w1 == w2 == s1
+
+    sig = DD.minhash_signatures(docs).toPandas()
+    assert list(sig[sig.id == 1].iloc[0]["sig"]) == list(
+        sig[sig.id == 2].iloc[0]["sig"]
+    )
+
+    sim = DD.simhash_table(docs).toPandas().set_index("doc_id")
+    assert sim.loc[1, "simhash"] == sim.loc[2, "simhash"]
+    col = docs.select(
+        "doc_id", DD.simhash64(F.col("text")).alias("sh")
+    ).toPandas().set_index("doc_id")
+    assert col.loc[1, "sh"] == col.loc[2, "sh"]
+
+    # contamination tokenizes through the same words() path: the padded
+    # doc against its clean twin as the eval set overlaps 100%
+    from stop_sync_osm_atlas_spark.operators.dedup import contamination_overlap
+
+    train = docs.where(F.col("doc_id") == 1)
+    test = docs.where(F.col("doc_id") == 2)
+    out = contamination_overlap(train, test, n=3).toPandas()
+    assert out.iloc[0]["overlap_frac"] == 1.0

@@ -211,6 +211,14 @@ def prepare_corpus(
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
         .withColumn("_near", F.lit(True))
+        # the loser-id set feeds TWO consumers below (the dedup-loser
+        # reason branch and the survivor anti-filter) and Catalyst
+        # specializes shared subtrees, so without this the whole LSH
+        # chain (shingle explode + signature aggregate + band self-join)
+        # would run twice. Slim (doc_id, bool) frame -> lazy
+        # localCheckpoint (the repo's in-operator diamond rule): both
+        # consumers read one RDD, blocks freed by the ContextCleaner.
+        .localCheckpoint(eager=False)
     )
 
     lid_model, bigram = train_models_fused(
@@ -221,6 +229,25 @@ def prepare_corpus(
     lid = langid_hashed_ngram_udf(lid_model)
     ppl = perplexity_udf(bigram)
 
+    # ---- dedup-loser / survivor split ---------------------------------
+    # The reason ladder resolves exact_dup / near_dup FIRST, so langid,
+    # perplexity, the word statistics and the whole ngram_stats gram
+    # explode are wasted work on every dedup loser — on a dup-heavy
+    # crawl that is MOST of the corpus (96% of the 20x-tiled stress).
+    # The reference's cascade never evaluates later stages for already-
+    # matched rows either (matching_script.py:264-271). Splitting after
+    # the dedup verdicts is semantics-preserving because dedup reasons
+    # outrank every downstream gate: outputs are bit-identical, only
+    # the loser rows skip the scoring subtree (they keep their cheap
+    # codegen'd n_tok).
+    verdicts = base.join(near_losers, "doc_id", "left")
+    losers = verdicts.where(
+        (F.col("_fp_rk") > 1) | F.col("_near").isNotNull()
+    )
+    surv_frame = verdicts.where(
+        (F.col("_fp_rk") == 1) & F.col("_near").isNull()
+    )
+
     if max_top_ngram_char_frac is None:
         max_top_ngram_char_frac = {2: 0.20}
     if max_dup_ngram_char_frac is None:
@@ -228,11 +255,12 @@ def prepare_corpus(
     ngram_cond = F.lit(False)
     ng_join = []
     if max_top_ngram_char_frac or max_dup_ngram_char_frac:
-        # fifth consumer of the persisted base — the token explode and
-        # gram shuffles run over the cached cleaning output, never a
-        # second raw-text scan
+        # consumer of the persisted base — the token explode and gram
+        # shuffles run over the cached cleaning output (survivors only:
+        # dedup losers never reach the ngram gate), never a second
+        # raw-text scan
         ng = ngram_stats(
-            base.select("doc_id", F.col("text_clean").alias("text")),
+            surv_frame.select("doc_id", F.col("text_clean").alias("text")),
             top_ns=tuple(sorted(max_top_ngram_char_frac)),
             dup_ns=tuple(sorted(max_dup_ngram_char_frac)),
         )
@@ -247,7 +275,7 @@ def prepare_corpus(
             )
 
     scored = (
-        base.join(near_losers, "doc_id", "left")
+        surv_frame
         .withColumn("_lid", lid(F.col("text_clean")))
         # round to 4 decimals BEFORE thresholding — the repo-wide
         # cross-engine determinism convention for model scores (same as
@@ -293,10 +321,12 @@ def prepare_corpus(
         if min_stopword_hits is None
         else F.col("_sw_hits") < F.lit(min_stopword_hits)
     )
+    # the exact_dup / near_dup whens live on the LOSER branch; the
+    # survivor ladder starts at the line-repetition gate — same
+    # first-matching-reason semantics, dedup losers just never pay the
+    # scoring subtree above
     reason = (
-        F.when(F.col("_fp_rk") > 1, F.lit("exact_dup"))
-        .when(F.col("_near"), F.lit("near_dup"))
-        .when(
+        F.when(
             (F.col("dup_line_frac") > F.lit(max_dup_line_frac))
             | (F.col("dup_line_char_frac") > F.lit(max_dup_line_char_frac)),
             F.lit("high_line_repetition"),
@@ -313,6 +343,18 @@ def prepare_corpus(
         .when(F.col("_lid.lang") != F.col("lang"), F.lit("langid_mismatch"))
         .otherwise(F.lit("keep"))
     )
+    loser_reason = F.when(F.col("_fp_rk") > 1, F.lit("exact_dup")).otherwise(
+        F.lit("near_dup")
+    )
+    loser_decisions = losers.select(
+        "doc_id",
+        "lang",
+        loser_reason.alias("reason"),
+        F.lit("drop").alias("decision"),
+        # losers keep their n_tok (same codegen'd expression the scored
+        # branch uses) — the one output column that cannot be skipped
+        n_words(F.col("text_clean")).alias("n_tok"),
+    )
     # decisions feeds both the caller and the packing stage — persist the
     # slim 5-column frame so bins doesn't re-run the scoring UDFs.
     decisions = scored.select(
@@ -323,7 +365,7 @@ def prepare_corpus(
             "decision"
         ),
         "n_tok",
-    ).persist()
+    ).unionByName(loser_decisions).persist()
 
     # The fused training collect above already materialized base's cache;
     # materializing the slim decisions frame here lets us release the

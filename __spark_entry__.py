@@ -263,15 +263,19 @@ def q02_corpus_prep(spark, sf):
     (The former q02_filter_project's F1/F6/F7 coverage is subsumed by
     q15's LIKE/prefix filters and q38's range predicates — COVERAGE.md.)
     """
-    from stop_sync_osm_atlas_spark.plans.corpus import prepare_corpus
+    from stop_sync_osm_atlas_spark.plans.corpus import (
+        CorpusConfig,
+        prepare_corpus,
+    )
 
     while _Q02_LIVE:
         _Q02_LIVE.pop().unpersist()
     d = _t(spark, sf, "documents")
     # exact_fp_prefix=None = the exact full-text fingerprint (the oracle
     # mirrors md5(text_clean) unbounded); the bounded-prefix trade is
-    # graded separately by q21's mode='prefix48' arm
-    decisions, bins = prepare_corpus(d, exact_fp_prefix=None)
+    # graded separately by q21's mode='prefix48' arm. The oracle SQL
+    # interpolates its thresholds from this same CorpusConfig object.
+    decisions, bins = prepare_corpus(d, CorpusConfig(exact_fp_prefix=None))
     _Q02_LIVE.append(decisions)
     nl = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
@@ -1705,7 +1709,29 @@ def _oracle_q02() -> str:
     pooled-stopword hits — same post-length placement) -> BOTH quality
     models trained on the survivors and scored
     over every doc -> the first-matching-reason ladder -> the global
-    packing window over the kept docs (mode='bin' rows, budget 512)."""
+    packing window over the kept docs (mode='bin' rows, budget 512).
+
+    Thresholds are interpolated from the SAME ``CorpusConfig`` defaults
+    (and the shared GOPHER_* n-gram dials) the pipeline reads — one
+    source of truth, so a config change cannot silently desynchronize
+    the two mirrors."""
+    from stop_sync_osm_atlas_spark.plans.corpus import (
+        GOPHER_DUP_NGRAM,
+        GOPHER_TOP_NGRAM,
+        CorpusConfig,
+    )
+
+    cc = CorpusConfig()
+    top_d = cc.max_top_ngram_char_frac or GOPHER_TOP_NGRAM
+    dup_d = cc.max_dup_ngram_char_frac or GOPHER_DUP_NGRAM
+    ngram_pred = " OR ".join(
+        [f"g.top_{n}gram_char_frac > {th}" for n, th in sorted(top_d.items())]
+        + [
+            f"g.dup_{n}gram_char_frac > {th}"
+            for n, th in sorted(dup_d.items())
+        ]
+    )
+    wl_lo, wl_hi = cc.word_len_range
     words = _sql_words("c.text")
     return f"""
 WITH dl AS (
@@ -1725,7 +1751,7 @@ firsts AS (
 kept0 AS (SELECT doc_id, pos, line, form FROM firsts WHERE rk = 1 OR form = ''),
 boiler AS (
   SELECT form FROM kept0 WHERE form <> ''
-  GROUP BY form HAVING count(DISTINCT doc_id) > 2
+  GROUP BY form HAVING count(DISTINCT doc_id) > {cc.max_line_df}
 ),
 keptl AS (
   SELECT doc_id, pos, line FROM kept0
@@ -1750,7 +1776,7 @@ surv AS (
 ),
 {_minhash_pair_ctes('surv', 0.5)[0]},
 near AS (SELECT DISTINCT b_id AS doc_id FROM mh_pairs),
-{_ngram_ctes('clean', (2,), (5,), tag='ngr')[0]},
+{_ngram_ctes('clean', tuple(sorted(top_d)), tuple(sorted(dup_d)), tag='ngr')[0]},
 lsf AS (
   SELECT doc_id, form, count(*) AS c, length(form) AS len
   FROM lrow WHERE form <> '' GROUP BY doc_id, form
@@ -1766,13 +1792,15 @@ lsd AS (
 sig0 AS (
   SELECT c.doc_id, c.lang, fpr.fp_rk,
     (n.doc_id IS NOT NULL) AS is_near,
-    (round(coalesce(l.dups * 1.0 / l.n_l, 0.0), 6) > 0.30
-     OR round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6) > 0.20)
+    (round(coalesce(l.dups * 1.0 / l.n_l, 0.0), 6) > {cc.max_dup_line_frac}
+     OR round(coalesce(l.dup_chars * 1.0 / l.chars, 0.0), 6)
+        > {cc.max_dup_line_char_frac})
       AS is_rep,
-    round(coalesce(l.bullets * 1.0 / l.n_l, 0.0), 6) > 0.90 AS is_bullet,
-    round(coalesce(l.ellipses * 1.0 / l.n_l, 0.0), 6) > 0.30
-      AS is_ellipsis,
-    (g.top_2gram_char_frac > 0.20 OR g.dup_5gram_char_frac > 0.15)
+    round(coalesce(l.bullets * 1.0 / l.n_l, 0.0), 6)
+      > {cc.max_bullet_line_frac} AS is_bullet,
+    round(coalesce(l.ellipses * 1.0 / l.n_l, 0.0), 6)
+      > {cc.max_ellipsis_line_frac} AS is_ellipsis,
+    ({ngram_pred})
       AS is_ngram_rep,
     CASE WHEN len({words}) > 0 THEN
       round(length(regexp_replace(lower(trim(c.text, {_WS})), '[ \\t\\n\\x0b\\x0c\\r]', '', 'g'))
@@ -1805,18 +1833,21 @@ dec AS (
          WHEN is_bullet THEN 'high_bullet_lines'
          WHEN is_ellipsis THEN 'high_ellipsis_lines'
          WHEN is_empty THEN 'empty'
-         WHEN n_tok < 5 THEN 'too_short'
+         WHEN n_tok < {cc.min_words} THEN 'too_short'
          WHEN is_ngram_rep THEN 'high_ngram_repetition'
-         WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'word_length_outlier'
-         WHEN alpha_frac < 0.80 THEN 'low_alpha_ratio'
-         WHEN sw_hits < 2 THEN 'low_stopword_count'
-         WHEN ppl > 6.0 THEN 'high_perplexity'
+         WHEN mean_wlen < {wl_lo} OR mean_wlen > {wl_hi}
+           THEN 'word_length_outlier'
+         WHEN alpha_frac < {cc.min_alpha_word_frac} THEN 'low_alpha_ratio'
+         WHEN sw_hits < {cc.min_stopword_hits} THEN 'low_stopword_count'
+         WHEN ppl > {cc.ppl_threshold} THEN 'high_perplexity'
          WHEN pred_lang <> lang THEN 'langid_mismatch'
          ELSE 'keep' END AS reason,
     CASE WHEN fp_rk > 1 OR is_near OR is_rep OR is_bullet OR is_ellipsis
-           OR is_ngram_rep OR is_empty OR n_tok < 5
-           OR mean_wlen < 3.0 OR mean_wlen > 10.0 OR alpha_frac < 0.80
-           OR sw_hits < 2 OR ppl > 6.0 OR pred_lang <> lang
+           OR is_ngram_rep OR is_empty OR n_tok < {cc.min_words}
+           OR mean_wlen < {wl_lo} OR mean_wlen > {wl_hi}
+           OR alpha_frac < {cc.min_alpha_word_frac}
+           OR sw_hits < {cc.min_stopword_hits} OR ppl > {cc.ppl_threshold}
+           OR pred_lang <> lang
          THEN 'drop' ELSE 'keep' END AS decision,
     n_tok
   FROM sig0
@@ -1825,8 +1856,8 @@ packed AS (
   SELECT lang, doc_id, n_tok,
     CAST(floor(coalesce(sum(n_tok) OVER (
       PARTITION BY lang ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
-      AS BIGINT) AS bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {float(cc.pack_budget)}) AS BIGINT) AS bin
   FROM dec WHERE decision = 'keep'
 )
 SELECT 'decision' AS mode, CAST(doc_id AS BIGINT) AS doc_id, lang,

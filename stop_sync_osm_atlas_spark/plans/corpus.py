@@ -31,6 +31,8 @@ key. No stage re-reads the corpus from disk.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, fields, replace
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -51,27 +53,61 @@ from ..operators.lines import clean_lines, ngram_stats
 from ..operators.packing import pack_bins
 
 
+# The published Gopher/MassiveText word-n-gram repetition defaults —
+# the `None -> default` resolution of the CorpusConfig n-gram dials.
+# Shared with the SQL oracle (one source of truth for the thresholds).
+GOPHER_TOP_NGRAM: dict[int, float] = {2: 0.20}
+GOPHER_DUP_NGRAM: dict[int, float] = {5: 0.15}
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Every dial of ``prepare_corpus`` in one frozen object (the
+    ``RuleConfig`` pattern, ``operators/rules.py``): call sites and the
+    SQL oracle read thresholds from the SAME defaults instead of
+    mirroring a growing keyword list. ``None`` disables the optional
+    gates exactly as the old keyword defaults did; the n-gram dials
+    keep their ``None -> published-Gopher-default`` resolution
+    ({2: 0.20} / {5: 0.15}) inside the pipeline so ``{}`` still means
+    "stage off"."""
+
+    max_line_df: int = 2
+    ppl_threshold: float = 6.0
+    min_words: int = 5
+    pack_budget: int = 512
+    pack_shards: int = 1
+    max_dup_line_frac: float = 0.30
+    max_dup_line_char_frac: float = 0.20
+    max_top_ngram_char_frac: dict[int, float] | None = None
+    max_dup_ngram_char_frac: dict[int, float] | None = None
+    max_bullet_line_frac: float | None = 0.90
+    max_ellipsis_line_frac: float | None = 0.30
+    word_len_range: tuple[float, float] | None = (3.0, 10.0)
+    min_alpha_word_frac: float | None = 0.80
+    min_stopword_hits: int | None = 2
+    exact_fp_prefix: int | None = None
+    remove_dup_spans_k: int | None = None
+    remove_dup_spans_min_docs: int = 2
+    # keep-one ExactSubstr removal (operators/dedup keep_first): the
+    # canonical occurrence of every duplicated gram survives instead of
+    # all copies vanishing corpus-wide
+    remove_dup_spans_keep_first: bool = False
+
+
+_CORPUS_FIELDS = {f.name for f in fields(CorpusConfig)}
+
+
 def prepare_corpus(
     docs: DataFrame,
-    max_line_df: int = 2,
-    ppl_threshold: float = 6.0,
-    min_words: int = 5,
-    pack_budget: int = 512,
-    pack_shards: int = 1,
-    max_dup_line_frac: float = 0.30,
-    max_dup_line_char_frac: float = 0.20,
-    max_top_ngram_char_frac: dict[int, float] | None = None,
-    max_dup_ngram_char_frac: dict[int, float] | None = None,
-    max_bullet_line_frac: float | None = 0.90,
-    max_ellipsis_line_frac: float | None = 0.30,
-    word_len_range: tuple[float, float] | None = (3.0, 10.0),
-    min_alpha_word_frac: float | None = 0.80,
-    min_stopword_hits: int | None = 2,
-    exact_fp_prefix: int | None = None,
-    remove_dup_spans_k: int | None = None,
-    remove_dup_spans_min_docs: int = 2,
+    cfg: CorpusConfig | None = None,
+    **overrides,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (decisions, bins).
+
+    Dials live on ``CorpusConfig``; keyword overrides of its fields are
+    accepted for convenience (``prepare_corpus(docs, min_words=10)`` ==
+    ``prepare_corpus(docs, replace(CorpusConfig(), min_words=10))``) —
+    unknown keywords raise immediately.
 
     ``decisions``: (doc_id, lang, decision, reason, n_tok) — one row per
     input doc; decision in {keep, drop}; reason is the first matching
@@ -166,11 +202,35 @@ def prepare_corpus(
     (it was materialized to free the internal text-bearing cache) —
     call ``decisions.unpersist()`` when finished with both outputs.
     """
+    cfg = cfg or CorpusConfig()
+    if overrides:
+        unknown = set(overrides) - _CORPUS_FIELDS
+        if unknown:
+            raise TypeError(
+                f"unknown CorpusConfig field(s): {sorted(unknown)}"
+            )
+        cfg = replace(cfg, **overrides)
+    # locals mirror the config fields 1:1 so the staged plan below reads
+    # like the pipeline description
+    max_line_df = cfg.max_line_df
+    ppl_threshold = cfg.ppl_threshold
+    min_words = cfg.min_words
+    max_dup_line_frac = cfg.max_dup_line_frac
+    max_dup_line_char_frac = cfg.max_dup_line_char_frac
+    max_top_ngram_char_frac = cfg.max_top_ngram_char_frac
+    max_dup_ngram_char_frac = cfg.max_dup_ngram_char_frac
+    max_bullet_line_frac = cfg.max_bullet_line_frac
+    max_ellipsis_line_frac = cfg.max_ellipsis_line_frac
+    word_len_range = cfg.word_len_range
+    min_alpha_word_frac = cfg.min_alpha_word_frac
+    min_stopword_hits = cfg.min_stopword_hits
+    exact_fp_prefix = cfg.exact_fp_prefix
+
     cleaned = clean_lines(docs, max_line_df=max_line_df, with_stats=True)
     base = docs.select("doc_id", "lang").join(cleaned, "doc_id")
 
     pre_strip = None
-    if remove_dup_spans_k is not None:
+    if cfg.remove_dup_spans_k is not None:
         # the substring pass checkpoints its token frame (one read) but
         # this join is a second consumer of the cleaning output —
         # persist it for the stage's duration or the Python cleaning
@@ -178,8 +238,9 @@ def prepare_corpus(
         pre_strip = base.persist()
         stripped = remove_duplicated_spans(
             pre_strip.select("doc_id", F.col("text_clean").alias("text")),
-            k=remove_dup_spans_k,
-            min_docs=remove_dup_spans_min_docs,
+            k=cfg.remove_dup_spans_k,
+            min_docs=cfg.remove_dup_spans_min_docs,
+            keep_first=cfg.remove_dup_spans_keep_first,
         )
         base = pre_strip.drop("text_clean").join(
             stripped.select(
@@ -249,9 +310,9 @@ def prepare_corpus(
     )
 
     if max_top_ngram_char_frac is None:
-        max_top_ngram_char_frac = {2: 0.20}
+        max_top_ngram_char_frac = GOPHER_TOP_NGRAM
     if max_dup_ngram_char_frac is None:
-        max_dup_ngram_char_frac = {5: 0.15}
+        max_dup_ngram_char_frac = GOPHER_DUP_NGRAM
     ngram_cond = F.lit(False)
     ng_join = []
     if max_top_ngram_char_frac or max_dup_ngram_char_frac:
@@ -380,6 +441,6 @@ def prepare_corpus(
         "doc_id", "lang", "n_tok"
     )
     bins = pack_bins(
-        kept, F.col("n_tok"), budget=pack_budget, shards=pack_shards
+        kept, F.col("n_tok"), budget=cfg.pack_budget, shards=cfg.pack_shards
     )
     return decisions, bins

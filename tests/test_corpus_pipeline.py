@@ -366,3 +366,58 @@ def test_prepare_corpus_invariants_randomized(spark, seed):
     # packing conserves every kept doc and token exactly once
     assert nb["n_docs"].sum() == len(kept)
     assert nb["total_tokens"].sum() == kept["n_tok"].sum()
+
+
+def test_corpus_config_api_and_keep_first_stage(spark):
+    """CorpusConfig object semantics: an explicit config equals the
+    keyword-override shim field-for-field; unknown keywords raise
+    eagerly; and remove_dup_spans_keep_first threads the keep-one
+    ExactSubstr removal into the pipeline — the canonical doc (min
+    doc_id, the block's earliest position holder) keeps its license
+    block while every other copy is stripped."""
+    from dataclasses import replace
+
+    from stop_sync_osm_atlas_spark.plans.corpus import (
+        CorpusConfig,
+        prepare_corpus,
+    )
+
+    block = (
+        "licensed under the creative commons attribution share alike"
+        " license version four point zero"
+    )  # 13 tokens
+    rows = []
+    for i in range(3):
+        pre = f"intro{i} one{i} two{i} three{i} four{i} five{i}"
+        suf = f"tail{i} six{i} seven{i} eight{i} nine{i} end{i}"
+        rows.append((f"b{i}", f"{pre} {block} {suf}", "en"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    )
+
+    cfg = CorpusConfig(remove_dup_spans_k=8, remove_dup_spans_keep_first=True)
+    on, _ = prepare_corpus(df, cfg)
+    dec = on.toPandas().set_index("doc_id")
+    on.unpersist()
+    # b0 is the min (doc_id, pos) holder for every block gram: keeps all
+    # 25 tokens; b1/b2 lose the 13-token block
+    assert dec.loc["b0", "n_tok"] == 25
+    assert dec.loc["b1", "n_tok"] == 12
+    assert dec.loc["b2", "n_tok"] == 12
+
+    # config-object call == keyword-override shim (dataclasses.replace
+    # under the hood), bit-identical decisions
+    via_kw, _ = prepare_corpus(
+        df, remove_dup_spans_k=8, remove_dup_spans_keep_first=True
+    )
+    dec_kw = via_kw.toPandas().set_index("doc_id")
+    via_kw.unpersist()
+    pd.testing.assert_frame_equal(
+        dec.sort_index(), dec_kw.sort_index()
+    )
+
+    # replace() composes with a base config
+    assert replace(cfg, min_words=9).min_words == 9
+
+    with pytest.raises(TypeError, match="unknown CorpusConfig"):
+        prepare_corpus(df, not_a_dial=1)

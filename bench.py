@@ -35,6 +35,14 @@ ND_KW = {"hot_threshold": 4096}
 GEN_BASE_MAX = 200_000  # python generator rows; larger inputs tile this
 SCALING_DIMS = (128, 160)  # production-weight decode for the scaling run
 
+# Host-mode canaries: two pure-JVM queries whose plans have been frozen
+# since round 4, pinned at their round-4 best-of-3 walls. canary_ratio
+# = mean(best-of-3 / pinned) — ~1.0-1.3 is this host's normal band
+# (BENCH/BASELINE.md "Why best-of-3"); a whole-bench inflation with a
+# FLAT canary_ratio is code/scope, a matching canary inflation is host
+# drift. Re-pin whenever a canary's own plan legitimately changes.
+CANARY_PINNED = {"q01_pricing_summary": 0.273, "q32_hourly_rollup": 0.261}
+
 
 def ensure_pairs(n: int, dims: tuple[int, ...] = (32, 64)) -> str:
     """Generate (once) the deterministic pairs table; excluded from timing.
@@ -270,6 +278,11 @@ def main() -> None:
         _log(f"corpus_prep skipped: {exc}")
 
     total = round(sum(timings.values()), 3)
+    canary_ratio = round(
+        sum(timings[q] / v for q, v in CANARY_PINNED.items() if q in timings)
+        / max(sum(q in timings for q in CANARY_PINNED), 1),
+        3,
+    )
     print(
         json.dumps(
             {
@@ -284,6 +297,9 @@ def main() -> None:
                 "qf_pipeline_cold_incl_warmup": qf_cold,
                 "qf_pipeline_runs": qf_runs,
                 "corpus_prep_sec": corpus_prep_sec,
+                # host-mode classifier (see CANARY_PINNED): compare
+                # rounds at similar ratios; a slow session shows here
+                "canary_ratio": canary_ratio,
             }
         )
     )

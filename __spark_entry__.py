@@ -1048,25 +1048,68 @@ def q46_strict_merge(spark, sf):
 
 
 def q53_stream_dedup(spark, sf):
-    """Streaming exact dedup graded for BATCH EQUIVALENCE: the derived
-    pairs table is replayed through Structured Streaming
-    (streaming/stream.stream_exact_dedup — dropDuplicatesWithinWatermark
-    keyed by the md5 content fingerprint), and the surviving fingerprint
-    SET must equal the batch dedup's distinct fingerprints (the winner
-    row per fingerprint depends on arrival order, so the set is the
-    deterministic contract)."""
+    """ALL THREE stateless/stateful streaming ops graded for BATCH
+    EQUIVALENCE in one union over ONE staged copy of the derived pairs
+    (streaming/stream.stage_and_drain_many):
+
+    mode='dedup'    — stream_exact_dedup (dropDuplicatesWithinWatermark
+                      keyed by the md5 content fingerprint): the
+                      surviving fingerprint SET must equal the batch
+                      dedup's distinct fingerprints (the winner row per
+                      fingerprint depends on arrival order, so the set
+                      is the deterministic contract).
+    mode='decision' — stream_decisions (the stateless rule cascade over
+                      readStream): per-image decision must equal the
+                      batch ladder's (the q23 oracle re-derived with
+                      near-dup/perplexity off, exactly the streaming
+                      semantics).
+    mode='metrics'  — stream_metrics (WATERMARKED tumbling-window
+                      keep/drop/scrub counts, drained in complete
+                      mode): the window boundaries ride processing
+                      time, so the deterministic contract is the
+                      cross-window SUM per decision == the batch
+                      ladder's decision counts."""
     from stop_sync_osm_atlas_spark.streaming.stream import (
-        stage_and_drain,
+        stage_and_drain_many,
+        stream_decisions,
         stream_exact_dedup,
+        stream_metrics,
     )
 
     pairs = _derived_pairs(spark, sf).select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     )
     # staging path / cleanup contract (per-process determinism,
-    # concurrent-driver isolation, exception safety): stage_and_drain
-    sink = stage_and_drain(spark, pairs, stream_exact_dedup, "q53_dedup_sink", tag=sf)
-    return sink.select("fp").distinct()
+    # concurrent-driver isolation, exception safety): stage_and_drain_many;
+    # the parquet staging write runs ONCE for the three streams
+    sinks = stage_and_drain_many(
+        spark,
+        pairs,
+        [
+            (stream_exact_dedup, "q53_dedup_sink", "append"),
+            (stream_decisions, "q53_decision_sink", "append"),
+            (stream_metrics, "q53_metrics_sink", "complete"),
+        ],
+        tag=sf,
+    )
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    dedup = sinks["q53_dedup_sink"].select("fp").distinct().select(
+        F.lit("dedup").alias("mode"), "fp", ns.alias("decision"), nl.alias("n")
+    )
+    decisions = sinks["q53_decision_sink"].select(
+        F.lit("decision").alias("mode"),
+        F.col("image_id").alias("fp"),
+        "decision",
+        nl.alias("n"),
+    )
+    metrics = (
+        sinks["q53_metrics_sink"]
+        .groupBy("decision")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("metrics").alias("mode"), ns.alias("fp"), "decision", "n")
+    )
+    return dedup.unionByName(decisions).unionByName(metrics)
 
 
 def q54_neardup_bands(spark, sf):
@@ -2596,18 +2639,37 @@ SELECT event_type,
   array_to_string(list_sort(list(DISTINCT user_id % 100)), ',') AS users_mod100
 FROM events GROUP BY event_type
 """,
-        # streaming dedup batch equivalence: the surviving-fingerprint
-        # SET equals the batch dedup's distinct fingerprints
+        # streaming batch equivalence, all three ops in one union:
+        # dedup = the surviving-fingerprint SET equals the batch
+        # dedup's distinct fingerprints; decision = per-image rule
+        # decisions equal the batch ladder (the q23 derivation with
+        # near-dup/perplexity off — the streaming semantics); metrics =
+        # the watermarked windowed counts sum per decision to the batch
+        # ladder's decision counts
         "q53_stream_dedup": f"""
 WITH pairs AS (
-  SELECT CASE WHEN doc_id % 10 = 0
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
               THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
               ELSE text END AS caption
   FROM documents
+),
+q23 AS ({_oracle_q23()})
+SELECT 'dedup' AS mode, fp, CAST(NULL AS VARCHAR) AS decision,
+  CAST(NULL AS BIGINT) AS n
+FROM (
+  SELECT DISTINCT
+    md5(substr(regexp_replace(lower(trim(coalesce(caption, ''), {_WS})), '{_WS_RE}+', ' ', 'g'), 1, 10000)) AS fp
+  FROM pairs
 )
-SELECT DISTINCT
-  md5(substr(regexp_replace(lower(trim(coalesce(caption, ''), {_WS})), '{_WS_RE}+', ' ', 'g'), 1, 10000)) AS fp
-FROM pairs
+UNION ALL
+SELECT 'decision', printf('doc:%06d', doc_id), decision,
+  CAST(NULL AS BIGINT)
+FROM q23
+UNION ALL
+SELECT 'metrics', CAST(NULL AS VARCHAR), decision,
+  CAST(count(*) AS BIGINT)
+FROM q23 GROUP BY decision
 """,
         # same planted ground truth as q24 — the bands bridge must
         # reproduce the doc_id//3 groups exactly

@@ -114,35 +114,56 @@ def stage_and_drain(
     old ``hash()`` path was PYTHONHASHSEED-randomized) while two drivers
     grading the same fixture concurrently never clobber each other.
     Cleanup is exception-safe: the query is stopped and the staging dir
-    removed even when the drain throws, so failed runs leak neither a
-    running stream nor a per-pid parquet copy; the memory sink owns the
-    rows once drained, so the returned frame survives the rmtree.
+    removed even when the drain (or the staging write itself) throws,
+    so failed runs leak neither a running stream nor a per-pid parquet
+    copy; the memory sink owns the rows once drained, so the returned
+    frame survives the rmtree.
     """
+    return stage_and_drain_many(
+        spark, df, [(make_stream, query_name, output_mode)], tag
+    )[query_name]
+
+
+def stage_and_drain_many(
+    spark: SparkSession,
+    df: DataFrame,
+    specs: list[tuple],
+    tag: str,
+) -> dict[str, DataFrame]:
+    """``stage_and_drain`` for SEVERAL streaming transforms over ONE
+    staged copy of ``df`` — the parquet staging write (the wide part)
+    runs once, then each ``(make_stream, query_name, output_mode)``
+    spec drains sequentially into its own memory sink. Returns
+    {query_name: batch frame}. Same per-process staging-path and
+    exception-safe-cleanup contract as ``stage_and_drain``."""
     import hashlib
     import os
     import shutil
 
+    names = "_".join(name for _, name, _ in specs)
     tmp = (
-        f"/tmp/spark_graft_{query_name}_"
+        f"/tmp/spark_graft_{hashlib.md5(names.encode()).hexdigest()[:8]}_"
         f"{hashlib.md5(tag.encode()).hexdigest()[:10]}_p{os.getpid()}"
     )
+    out: dict[str, DataFrame] = {}
     # the staging write sits INSIDE the try so a mid-write failure
-    # (disk full, serialization error) still hits the finally rmtree —
-    # the docstring's exception-safe-cleanup claim covers the write too
+    # (disk full, serialization error) still hits the finally rmtree
     try:
         df.write.mode("overwrite").parquet(tmp)
-        q = (
-            make_stream(spark, tmp)
-            .writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.sql(f"SELECT * FROM {query_name}")
+        for make_stream, query_name, output_mode in specs:
+            q = (
+                make_stream(spark, tmp)
+                .writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(query_name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            out[query_name] = spark.sql(f"SELECT * FROM {query_name}")
+        return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -56,10 +56,11 @@ def ensure_pairs(n: int, dims: tuple[int, ...] = (32, 64)) -> str:
     import numpy as np
 
     dtag = "x".join(map(str, dims))
-    # c2 = codec generation tag: bump whenever encode_image's byte
+    # c4 = codec generation tag: bump whenever encode_image's byte
     # layout changes so cached /tmp fixtures regenerate (r5: real-PNG
-    # streams for <=1024-px png rows)
-    path = f"/tmp/spark_graft_bench/pairs_n{n}_d{dtag}_c2"
+    # streams for <=1024-px png rows; r6: real baseline-JFIF streams
+    # for <=1024-px jpeg rows on the 1-in-8 seed stride)
+    path = f"/tmp/spark_graft_bench/pairs_n{n}_d{dtag}_c4"
     marker = os.path.join(path, "_done")
     if os.path.exists(marker):
         return os.path.join(path, "pairs.parquet")

@@ -1,6 +1,6 @@
-"""Image bytes handling: real PNG codec (stdlib zlib) + synthetic stream.
+"""Image bytes handling: real PNG + real baseline JPEG + synthetic stream.
 
-Two byte layouts, one decode contract (bytes -> HxWx3 uint8 or error):
+Three byte layouts, one decode contract (bytes -> HxWx3 uint8 or error):
 
 * **Real PNG** (``fmt='png'``, up to ``REAL_PNG_MAX_PIXELS`` pixels):
   a genuine dependency-free PNG implementation — 8-bit RGB IHDR,
@@ -9,23 +9,35 @@ Two byte layouts, one decode contract (bytes -> HxWx3 uint8 or error):
   the ground-truth seed carried in an ancillary ``tEXt`` chunk. The
   PSNR invariant is therefore a genuine format-roundtrip check for
   this path.
-* **Synthetic stream** (``'jpeg'``, and ``'png'`` above the pixel
-  budget): the container image libraries (PIL/opencv/turbojpeg) are
-  absent, so large images and the lossy format use a clearly-marked
-  deterministic stand-in — the stream carries (fmt, w, h, seed) and
-  pixels regenerate from the seed. This keeps multi-GB bench fixtures
-  (1.6M rows at 128-160 px) from ballooning to tens of GB of
-  incompressible noise while the *Spark plumbing* stays identical:
-  binary column in, `mapInPandas` Arrow batches, per-batch numpy
-  decode, PSNR invariant, corrupt-stream handling.
+* **Real baseline JFIF** (``fmt='jpeg'``, up to
+  ``REAL_JPEG_MAX_PIXELS`` pixels on the deterministic 1-in-
+  ``REAL_JPEG_SAMPLE_MOD`` seed stride — r6, ``functions/jpeg.py``): a
+  genuine ITU-T T.81 baseline sequential codec (numpy FDCT/IDCT,
+  canonical Huffman built from the stream's own DHT, 4:4:4,
+  near-lossless quant), ground-truth seed in a COM segment. The lossy
+  >= 40 dB PSNR invariant is a REAL format roundtrip on this path
+  (measures the codec's actual quantization + color-transform error,
+  ~48 dB). See the REAL_JPEG_SAMPLE_MOD note for why the lossy path
+  samples where the PNG path does not.
+* **Synthetic stream** (either fmt above its pixel budget): the
+  container image libraries (PIL/opencv/turbojpeg) are absent, so
+  large images use a clearly-marked deterministic stand-in — the
+  stream carries (fmt, w, h, seed) and pixels regenerate from the
+  seed. This keeps multi-GB bench fixtures (1.6M rows at 128-160 px)
+  from ballooning to tens of GB of incompressible noise while the
+  *Spark plumbing* stays identical: binary column in, `mapInPandas`
+  Arrow batches, per-batch numpy decode, PSNR invariant,
+  corrupt-stream handling.
 
 Analog in the reference: coordinate validation before import
 (reference import_data_db.py:60-100 — range checks, NaN laundering) —
-here: magic/CRC/dims/format validation with per-row error strings.
+here: magic/CRC/Huffman/dims/format validation with per-row error
+strings.
 
 Swap-in point for production: replace ``decode_image``'s synthetic
 branch with a real PIL/turbojpeg call — the operator contract and all
-Spark-side code stay unchanged (the PNG branch already is real).
+Spark-side code stay unchanged (the PNG and baseline-JPEG branches
+already are real).
 """
 
 from __future__ import annotations
@@ -38,18 +50,39 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .jpeg import decode_jpeg_ex, encode_jpeg, jpeg_seed
+
 MAGIC = b"SYNIMG1"
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8"
 _FMT_CODES = {"png": 0, "jpeg": 1}
 _FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
-# "jpeg" simulated loss: quantize to step 4 -> max err 2 -> PSNR ~46 dB
-# (satisfies the >=40 dB lossy invariant by construction).
+# synthetic-"jpeg" simulated loss (above-budget rows only): quantize to
+# step 4 -> max err 2 -> PSNR ~46 dB (satisfies the >=40 dB lossy
+# invariant by construction).
 _JPEG_STEP = 4
 # real-PNG byte budget: noise pixels are incompressible, so a real
 # stream costs ~3 B/pixel in the fixture parquet; 1024 px (32x32) keeps
 # the 200k-row bench fixture ~+150 MB while every pipeline run still
 # decodes genuine PNGs on the hot path
 REAL_PNG_MAX_PIXELS = 1024
+# real-JPEG budget (r6): fmt='jpeg' rows up to this size AND whose seed
+# falls on the sample stride below carry genuine baseline JFIF streams.
+REAL_JPEG_MAX_PIXELS = 1024
+# Why a SAMPLE and not every row (unlike PNG): PNG decode is stdlib
+# zlib — native C, the same engine a production deployment uses — so
+# putting it on every row is the real 100 TB cost. The JFIF codec's
+# Huffman loop is pure Python (~2.5 ms per 32x32 image, measured
+# A/B: all-real jpeg rows took the flagship pipeline 11.4 -> 17.7 s),
+# which is NOT how a 100 TB deployment decodes JPEG (libjpeg-turbo is
+# ~100x faster); an interpreter loop dominating the flagship would
+# misrepresent the scale design rather than validate it. The fixture
+# therefore carries a deterministic 1-in-8 real-JFIF sample: every
+# pipeline run still exercises the genuine decoder end-to-end (~6k
+# real streams in the 200k-row bench fixture, ~+0.8 s), the full-real
+# path stays one constant away, and decode correctness is graded by
+# the dedicated roundtrip/corrupt/fuzz suites regardless.
+REAL_JPEG_SAMPLE_MOD = 8
 # Decode-side allocation cap (DoS guard): one corrupt header claiming
 # 65536 x 65536 would otherwise allocate ~12 GB inside a mapInPandas
 # worker and kill the task for the whole batch. 2^24 pixels (= 4096 x
@@ -286,11 +319,13 @@ def png_seed(b: bytes) -> int | None:
 
 
 def ground_truth_seed(b: bytes) -> int | None:
-    """Seed for re-synthesizing the reference pixels, either layout."""
+    """Seed for re-synthesizing the reference pixels, any layout."""
     if b is None:
         return None
     if b[: len(PNG_SIG)] == PNG_SIG:
         return png_seed(b)
+    if b[: len(JPEG_SIG)] == JPEG_SIG:
+        return jpeg_seed(b)
     if len(b) >= len(MAGIC) + 17 and b[: len(MAGIC)] == MAGIC:
         return struct.unpack("<Q", b[len(MAGIC) + 9 : len(MAGIC) + 17])[0]
     return None
@@ -301,6 +336,12 @@ def encode_image(seed: int, w: int, h: int, fmt: str) -> bytes:
         raise ValueError(f"unknown fmt {fmt!r}")
     if fmt == "png" and 0 < w * h <= REAL_PNG_MAX_PIXELS:
         return encode_png(synth_pixels(seed, w, h), seed=seed)
+    if (
+        fmt == "jpeg"
+        and 0 < w * h <= REAL_JPEG_MAX_PIXELS
+        and seed % REAL_JPEG_SAMPLE_MOD == 0
+    ):
+        return encode_jpeg(synth_pixels(seed, w, h), seed=seed)
     return MAGIC + struct.pack("<BIIQ", _FMT_CODES[fmt], w, h, seed & (2**64 - 1))
 
 
@@ -319,6 +360,9 @@ def decode_image_full(
     if b[: len(PNG_SIG)] == PNG_SIG:
         px, w, h, seed, e = _decode_png_ex(b)
         return px, w, h, "png", seed, e
+    if b[: len(JPEG_SIG)] == JPEG_SIG:
+        px, w, h, seed, e = decode_jpeg_ex(b, MAX_DECODE_PIXELS)
+        return px, w, h, "jpeg", seed, e
     if len(b) < len(MAGIC) + 17 or b[: len(MAGIC)] != MAGIC:
         return None, 0, 0, "", None, "bad_magic_or_truncated"
     fmt_code, w, h, seed = struct.unpack("<BIIQ", b[len(MAGIC) : len(MAGIC) + 17])
@@ -387,6 +431,14 @@ def decode_stats(pairs: DataFrame) -> DataFrame:
                     # tEXt seed channel): lossless by construction/
                     # format, nothing to compare against
                     ps[i] = float("inf")
+                    ok[i] = True
+                    continue
+                if truth_seed is None:
+                    # a real lossy stream without the COM seed channel:
+                    # decoded fine, but there is no ground truth to
+                    # PSNR against (production pipelines never have
+                    # one) — decode success is the verdict
+                    ps[i] = float("nan")
                     ok[i] = True
                     continue
                 # real-PNG rows run the GENUINE roundtrip check here:
@@ -498,11 +550,13 @@ def decode_validate_inline(pairs: DataFrame) -> DataFrame:
                 px, w, h, fmt, seed, e = decode_image_full(b)
                 if e is not None or w != w_meta or h != h_meta:
                     continue
-                if fmt == "png":
+                if fmt == "png" or seed is None:
                     # real-PNG decode already verified CRC + structure +
-                    # inflate; lossless means no PSNR re-synthesis on
-                    # the hot path (production pipelines have no ground
-                    # truth either — decode_stats runs the full check)
+                    # inflate (lossless: no PSNR re-synthesis on the hot
+                    # path); a seedless lossy stream has no ground truth
+                    # — decode success is the verdict either way
+                    # (decode_stats runs the full check where a seed
+                    # channel exists)
                     ok[i] = True
                     continue
                 ok[i] = psnr(px, synth_pixels(seed, w, h)) >= 40.0

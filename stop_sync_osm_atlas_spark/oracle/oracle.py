@@ -186,8 +186,11 @@ def _decode_ok(r) -> bool:
         return False
     seed = ground_truth_seed(r.bytes)
     if seed is None:
-        # real PNG without the tEXt seed channel: lossless by format
-        return fmt == "png"
+        # real PNG without the tEXt seed channel (lossless by format)
+        # or a real lossy stream without the COM seed channel (no
+        # ground truth exists): decode success is the verdict — the
+        # engine's decode_stats/decode_validate_inline mirror
+        return fmt in ("png", "jpeg")
     # same acceptance threshold as decode_stats for BOTH formats (the
     # engine errs only when p < 40, functions/image.py): a real-PNG
     # roundtrip lands at inf in practice, but the mirrored CONTRACT is

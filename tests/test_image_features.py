@@ -400,3 +400,169 @@ def test_png_multi_idat_chunks_decode():
     px, w, h, fmt, err = decode_image(shredded)
     assert err is None and (w, h, fmt) == (16, 16, "png")
     assert (px == truth).all()
+
+
+def test_real_jpeg_roundtrip_and_structure():
+    """The r6 baseline-JFIF codec: encode_image emits a genuine T.81
+    baseline stream for <=1024-px jpeg rows (SOI/APP0/DQT/SOF0/DHT/SOS/
+    EOI markers all present), decode_image_full dispatches on the JPEG
+    signature, the roundtrip PSNR is a REAL lossy-format measurement
+    (>= 40 dB, finite — unlike PNG's inf), and the COM seed channel
+    survives."""
+    from stop_sync_osm_atlas_spark.functions.image import (
+        REAL_JPEG_MAX_PIXELS,
+        decode_image_full,
+        encode_image,
+        ground_truth_seed,
+        psnr,
+        synth_pixels,
+    )
+
+    for w, h in [(32, 32), (8, 8), (17, 11), (1, 1)]:
+        b = encode_image(96, w, h, "jpeg")
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        for marker in (b"JFIF\x00", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in b, marker
+        px, dw, dh, fmt, seed, err = decode_image_full(b)
+        assert err is None and fmt == "jpeg" and (dw, dh) == (w, h)
+        assert px.shape == (h, w, 3) and px.dtype == np.uint8
+        assert seed == 96 and ground_truth_seed(b) == 96
+        p = psnr(px, synth_pixels(96, w, h))
+        assert p >= 40.0, (w, h, p)
+        if w * h > 1:
+            assert p != float("inf")  # genuinely lossy
+
+    # above the budget the stream stays the documented synthetic layout
+    big = encode_image(96, 64, 64, "jpeg")
+    assert big[:7] == b"SYNIMG1"
+    assert 64 * 64 > REAL_JPEG_MAX_PIXELS
+    # off the 1-in-REAL_JPEG_SAMPLE_MOD seed stride: synthetic even
+    # under the pixel budget (pure-Python Huffman is the sandbox
+    # stand-in for a native lossy codec — see the image.py note)
+    off = encode_image(97, 32, 32, "jpeg")
+    assert off[:7] == b"SYNIMG1"
+
+
+def test_real_jpeg_corrupt_streams_and_bomb_guard():
+    """Malformed JFIF surfaces as per-row error strings, never an
+    exception; a header claiming giant dims errors BEFORE any pixel
+    allocation (too_large), the same decode-bomb stance as PNG."""
+    import struct as st
+
+    from stop_sync_osm_atlas_spark.functions.image import (
+        decode_image_full,
+        encode_image,
+    )
+    from stop_sync_osm_atlas_spark.functions.jpeg import decode_jpeg_ex
+
+    good = encode_image(8, 32, 32, "jpeg")
+    sos = good.index(b"\xff\xda")
+
+    # header-region truncations must error per-row
+    for cut in (2, 4, 10, 30, sos + 3):
+        px, _, _, _, _, err = decode_image_full(good[:cut])
+        assert px is None and isinstance(err, str) and err, cut
+
+    # ENTROPY-region truncation: T.81 pads past the end with zero bits,
+    # so a salvage decode (correct shape) OR a clean error are both
+    # conforming — never an exception; the garbage tail then fails the
+    # decode_stats PSNR invariant instead
+    for cut in (len(good) // 2, len(good) - 3):
+        px, w, h, fmt, seed, err = decode_image_full(good[:cut])
+        if err is None:
+            assert px is not None and px.shape == (32, 32, 3)
+        else:
+            assert px is None and isinstance(err, str)
+
+    # garbage entropy data: flip bytes after SOS — decodes or errors,
+    # never raises (distribution asserted by the fuzz test below)
+    b = bytearray(good)
+    for i in range(sos + 14, min(sos + 40, len(b) - 2)):
+        b[i] ^= 0xA5
+    px, _, _, _, _, err = decode_image_full(bytes(b))
+    assert (px is None) == (err is not None)
+
+    # progressive SOF2 -> unsupported
+    b = bytearray(good)
+    b[good.index(b"\xff\xc0") + 1] = 0xC2
+    px, _, _, _, _, err = decode_image_full(bytes(b))
+    assert px is None and err == "jpeg_unsupported"
+
+    # dims bomb: SOF claiming 65535 x 65535 must refuse BEFORE allocating
+    i = good.index(b"\xff\xc0")
+    b = bytearray(good)
+    b[i + 5 : i + 9] = st.pack(">HH", 65535, 65535)
+    px, w, h, seed, err = decode_jpeg_ex(bytes(b), 1 << 24)
+    assert px is None and err == "too_large" and (w, h) == (65535, 65535)
+
+
+def test_jpeg_decoder_fuzz_never_raises():
+    """Same adversarial contract as the PNG fuzz pass, on the JFIF
+    decoder: mutations, truncations and arbitrary bytes behind the JPEG
+    signature decode cleanly or error cleanly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    from stop_sync_osm_atlas_spark.functions.image import (
+        decode_image_full,
+        encode_image,
+    )
+
+    base = encode_image(4320, 17, 11, "jpeg")
+
+    @settings(max_examples=250, deadline=None)
+    @given(data=st_h.data())
+    def run(data):
+        mode = data.draw(st_h.integers(0, 2))
+        if mode == 0:
+            b = bytearray(base)
+            for _ in range(data.draw(st_h.integers(1, 8))):
+                i = data.draw(st_h.integers(0, len(b) - 1))
+                b[i] = data.draw(st_h.integers(0, 255))
+            buf = bytes(b)
+        elif mode == 1:
+            cut = data.draw(st_h.integers(0, len(base)))
+            buf = base[:cut] + data.draw(st_h.binary(max_size=32))
+        else:
+            buf = b"\xff\xd8" + data.draw(st_h.binary(max_size=256))
+        px, w, h, fmt, seed, err = decode_image_full(buf)
+        if err is None:
+            assert px is not None and px.shape == (h, w, 3)
+            assert px.dtype == np.uint8
+        else:
+            assert px is None and isinstance(err, str) and err
+
+    run()
+
+
+def test_real_jpeg_through_spark_operators(spark):
+    """decode_stats over real JFIF rows: the lossy roundtrip PSNR is
+    finite and >= 40; a stream whose SOF dims disagree with the
+    metadata errors per-row; image_features extracts from the real
+    stream."""
+    from stop_sync_osm_atlas_spark.functions.image import (
+        decode_stats,
+        encode_image,
+        image_features,
+    )
+
+    ok_jpg = encode_image(80, 32, 32, "jpeg")
+    rows = [
+        ("real", ok_jpg, 32, 32, "jpeg"),
+        ("dims", ok_jpg, 16, 32, "jpeg"),  # metadata lies about w
+    ]
+    pdf = pd.DataFrame(
+        [
+            dict(image_id=i, bytes=b, w=w, h=h, fmt=f, caption="x", phash=0)
+            for i, b, w, h, f in rows
+        ]
+    )
+    pairs = spark.createDataFrame(pdf, PAIRS_SCHEMA)
+    st = decode_stats(pairs).toPandas().set_index("image_id")
+    assert st.loc["real", "ok"]
+    assert 40.0 <= st.loc["real", "psnr"] < float("inf")
+    assert not st.loc["dims", "ok"]
+    assert st.loc["dims", "err"] == "dims_mismatch_metadata"
+
+    ft = image_features(pairs).toPandas().set_index("image_id")
+    assert ft.loc["real", "ok"] and len(ft.loc["real", "embedding"]) == 64

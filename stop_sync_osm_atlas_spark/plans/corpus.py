@@ -53,11 +53,24 @@ from ..operators.lines import clean_lines, ngram_stats
 from ..operators.packing import pack_bins
 
 
-# The published Gopher/MassiveText word-n-gram repetition defaults —
-# the `None -> default` resolution of the CorpusConfig n-gram dials.
-# Shared with the SQL oracle (one source of truth for the thresholds).
+# The `None -> default` resolution of the CorpusConfig n-gram dials —
+# shared with the SQL oracle (one source of truth for the thresholds).
+# Deliberately the CONSERVATIVE subset of the published Gopher set: the
+# published top-{3,4} thresholds (0.18/0.16) assume Gopher's 50-word
+# document floor, and at this engine's min_words=5 default they drop
+# ordinary short documents (a 16-token doc's once-occurring top 4-gram
+# already carries ~0.22 of its chars — verified by the r6 control
+# fixture). The FULL published set is one config away and measured at
+# +8% (13.5 -> 14.5 s on sf0.1 prepare_corpus — one per-doc window
+# supplies every lead_k; BENCH/BASELINE.md); pair it with a Gopher-like
+# min_words when using it.
 GOPHER_TOP_NGRAM: dict[int, float] = {2: 0.20}
 GOPHER_DUP_NGRAM: dict[int, float] = {5: 0.15}
+# the full published Gopher dials, for callers with a >= 50-word floor
+GOPHER_TOP_NGRAM_FULL: dict[int, float] = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_FULL: dict[int, float] = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10
+}
 
 
 @dataclass(frozen=True)

@@ -285,11 +285,11 @@ def prepare_corpus(
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
         .withColumn("_near", F.lit(True))
-        # the loser-id set feeds TWO consumers below (the dedup-loser
-        # reason branch and the survivor anti-filter) and Catalyst
-        # specializes shared subtrees, so without this the whole LSH
-        # chain (shingle explode + signature aggregate + band self-join)
-        # would run twice. Slim (doc_id, bool) frame -> lazy
+        # the loser-id set feeds TWO consumers below (the scored frame's
+        # verdict join and the ngram branch's survivor filter) and
+        # Catalyst specializes shared subtrees, so without this the
+        # whole LSH chain (shingle explode + signature aggregate + band
+        # self-join) would run twice. Slim (doc_id, bool) frame -> lazy
         # localCheckpoint (the repo's in-operator diamond rule): both
         # consumers read one RDD, blocks freed by the ContextCleaner.
         .localCheckpoint(eager=False)
@@ -303,24 +303,28 @@ def prepare_corpus(
     lid = langid_hashed_ngram_udf(lid_model)
     ppl = perplexity_udf(bigram)
 
-    # ---- dedup-loser / survivor split ---------------------------------
+    # ---- survivor-gated scoring (single frame) -------------------------
     # The reason ladder resolves exact_dup / near_dup FIRST, so langid,
     # perplexity, the word statistics and the whole ngram_stats gram
     # explode are wasted work on every dedup loser — on a dup-heavy
     # crawl that is MOST of the corpus (96% of the 20x-tiled stress).
     # The reference's cascade never evaluates later stages for already-
-    # matched rows either (matching_script.py:264-271). Splitting after
-    # the dedup verdicts is semantics-preserving because dedup reasons
-    # outrank every downstream gate: outputs are bit-identical, only
-    # the loser rows skip the scoring subtree (they keep their cheap
-    # codegen'd n_tok).
+    # matched rows either (matching_script.py:264-271). Per-row gating
+    # on ONE frame is semantics-preserving AND plan-cheap: the Arrow
+    # UDFs receive NULL text for losers (their Python paths skip
+    # non-str rows at ~zero cost), the codegen'd word gates ride the
+    # same null (CaseWhen short-circuits per row in generated code),
+    # and the ngram explode's INPUT is filtered to survivors — so
+    # losers pay only the cheap n_tok. The earlier two-branch
+    # split-and-union shape produced identical output but cost ~2.5 s
+    # of extra plan machinery at sf0.1 (second join + union + a
+    # post-Arrow broadcast barrier, measured in the r6 A/B); this
+    # gated single-frame shape keeps the full 1.35-1.6x dup-heavy
+    # stress win (measured: 32-35 s vs score-everything's 47-57 s at
+    # 100k docs) at zero cost on low-dup corpora.
     verdicts = base.join(near_losers, "doc_id", "left")
-    losers = verdicts.where(
-        (F.col("_fp_rk") > 1) | F.col("_near").isNotNull()
-    )
-    surv_frame = verdicts.where(
-        (F.col("_fp_rk") == 1) & F.col("_near").isNull()
-    )
+    is_surv = (F.col("_fp_rk") == 1) & F.col("_near").isNull()
+    surv_frame = verdicts.where(is_surv)
 
     if max_top_ngram_char_frac is None:
         max_top_ngram_char_frac = GOPHER_TOP_NGRAM
@@ -348,27 +352,40 @@ def prepare_corpus(
                 F.col(f"dup_{n}gram_char_frac") > F.lit(th)
             )
 
+    surv_text = F.when(is_surv, F.col("text_clean"))
+    scored = verdicts
+    for ng in ng_join:
+        # join the slim per-doc gram fractions BEFORE the Arrow
+        # projection: with the model scoring on top of the join, the
+        # planner can pick either build side without ever having to
+        # broadcast (and thus barrier on) the Python stage's output —
+        # measured: the post-Arrow join let AQE elect the Arrow side as
+        # the build, serializing the whole scoring stage behind a
+        # broadcast (~2.5 s at sf0.1). Left join: losers have no ng row
+        # (the explode never saw them); a null ngram_cond falls through
+        # CaseWhen exactly like false.
+        scored = scored.join(ng, "doc_id", "left")
     scored = (
-        surv_frame
-        .withColumn("_lid", lid(F.col("text_clean")))
+        scored
+        .withColumn("_lid", lid(surv_text))
         # round to 4 decimals BEFORE thresholding — the repo-wide
         # cross-engine determinism convention for model scores (same as
         # q48): the SQL oracle re-derives ppl in double arithmetic and
         # both sides compare the identical rounded value against the
         # threshold, removing last-ulp boundary flips.
-        .withColumn("_ppl", F.round(ppl(F.col("text_clean")), 4))
+        .withColumn("_ppl", F.round(ppl(surv_text), 4))
         .withColumn("n_tok", n_words(F.col("text_clean")))
         # Gopher word statistics, all single codegen'd expressions over
         # the cleaned text (no explode) — definitions live with their
-        # siblings in functions/text.py under its three-mirror contract
-        .withColumn("_mean_wlen", mean_word_len(F.col("text_clean")))
-        .withColumn("_alpha_frac", alpha_word_frac(F.col("text_clean")))
+        # siblings in functions/text.py under its three-mirror contract;
+        # surv_text nulls them for losers, whose ladder rows resolve at
+        # the dedup whens before any gate column is read
+        .withColumn("_mean_wlen", mean_word_len(surv_text))
+        .withColumn("_alpha_frac", alpha_word_frac(surv_text))
         .withColumn(
-            "_sw_hits", token_set_hits(F.col("text_clean"), ALL_STOPWORDS)
+            "_sw_hits", token_set_hits(surv_text, ALL_STOPWORDS)
         )
     )
-    for ng in ng_join:
-        scored = scored.join(ng, "doc_id")
     bullet_cond = (
         F.lit(False)
         if max_bullet_line_frac is None
@@ -395,12 +412,12 @@ def prepare_corpus(
         if min_stopword_hits is None
         else F.col("_sw_hits") < F.lit(min_stopword_hits)
     )
-    # the exact_dup / near_dup whens live on the LOSER branch; the
-    # survivor ladder starts at the line-repetition gate — same
-    # first-matching-reason semantics, dedup losers just never pay the
-    # scoring subtree above
+    # first-matching-reason ladder: the dedup whens lead, so loser rows
+    # short-circuit before any (null) gate column is read
     reason = (
-        F.when(
+        F.when(F.col("_fp_rk") > 1, F.lit("exact_dup"))
+        .when(F.col("_near"), F.lit("near_dup"))
+        .when(
             (F.col("dup_line_frac") > F.lit(max_dup_line_frac))
             | (F.col("dup_line_char_frac") > F.lit(max_dup_line_char_frac)),
             F.lit("high_line_repetition"),
@@ -417,18 +434,6 @@ def prepare_corpus(
         .when(F.col("_lid.lang") != F.col("lang"), F.lit("langid_mismatch"))
         .otherwise(F.lit("keep"))
     )
-    loser_reason = F.when(F.col("_fp_rk") > 1, F.lit("exact_dup")).otherwise(
-        F.lit("near_dup")
-    )
-    loser_decisions = losers.select(
-        "doc_id",
-        "lang",
-        loser_reason.alias("reason"),
-        F.lit("drop").alias("decision"),
-        # losers keep their n_tok (same codegen'd expression the scored
-        # branch uses) — the one output column that cannot be skipped
-        n_words(F.col("text_clean")).alias("n_tok"),
-    )
     # decisions feeds both the caller and the packing stage — persist the
     # slim 5-column frame so bins doesn't re-run the scoring UDFs.
     decisions = scored.select(
@@ -439,7 +444,7 @@ def prepare_corpus(
             "decision"
         ),
         "n_tok",
-    ).unionByName(loser_decisions).persist()
+    ).persist()
 
     # The fused training collect above already materialized base's cache;
     # materializing the slim decisions frame here lets us release the

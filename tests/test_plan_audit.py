@@ -39,3 +39,59 @@ def test_no_row_at_a_time_python_in_any_graded_plan(spark):
                 ln for ln in plan.splitlines() if "BatchEvalPython" in ln
             ][:2]
     assert not offenders, offenders
+
+
+def _broadcast_subtrees(simple_plan: str) -> list[list[str]]:
+    """Split a `simple`-mode plan tree into the subtree line-lists
+    rooted at each BroadcastExchange node. Depth is the column of the
+    node name (after the ':  ' / '+- ' scaffolding), so a subtree ends
+    at the first following line whose node starts at <= the root's
+    column."""
+    import re
+
+    lines = simple_plan.splitlines()
+    depths = []
+    for ln in lines:
+        m = re.search(r"[A-Za-z(]", ln.replace(":", " ").replace("+", " ").replace("-", " ").replace("*", " "))
+        depths.append(m.start() if m else 0)
+    out = []
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        sub = []
+        for j in range(i + 1, len(lines)):
+            if depths[j] <= depths[i]:
+                break
+            sub.append(lines[j])
+        out.append(sub)
+    return out
+
+
+def test_no_python_stage_inside_a_broadcast_build(spark):
+    """The r6 regression shape, pinned: a join placed ON TOP of an
+    Arrow projection let AQE elect the Python stage's output as the
+    broadcast build side, serializing the whole scoring stage behind a
+    broadcast barrier (q02: +2.5 s at sf0.1; the fix moved the join
+    beneath the projection — BENCH/BASELINE.md round-6). This asserts
+    the EXECUTED final AQE plan of the corpus-prep decisions never
+    broadcasts a subtree containing an Arrow/Pandas Python stage."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q02_corpus_prep"](spark, SF)
+    df.count()  # drive to completion so AQE's final plan is elected
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "isFinalPlan=true" in plan
+    bad = [
+        sub
+        for sub in _broadcast_subtrees(plan)
+        if any(
+            marker in ln
+            for ln in sub
+            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        )
+    ]
+    assert not bad, "Python stage broadcast as a build side:\n" + "\n\n".join(
+        "\n".join(s[:12]) for s in bad
+    )

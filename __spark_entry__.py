@@ -1765,8 +1765,21 @@ def _oracle_q02() -> str:
     )
 
     cc = CorpusConfig()
-    top_d = cc.max_top_ngram_char_frac or GOPHER_TOP_NGRAM
-    dup_d = cc.max_dup_ngram_char_frac or GOPHER_DUP_NGRAM
+    # `is None`-resolution, NOT truthiness: the pipeline's contract is
+    # None -> published Gopher defaults while `{}` means "stage off"
+    # (plans/corpus.py) — an `or` here would re-enable the gates on the
+    # oracle side only for a `{}` config and report mirror drift as
+    # engine bugs
+    top_d = (
+        cc.max_top_ngram_char_frac
+        if cc.max_top_ngram_char_frac is not None
+        else GOPHER_TOP_NGRAM
+    )
+    dup_d = (
+        cc.max_dup_ngram_char_frac
+        if cc.max_dup_ngram_char_frac is not None
+        else GOPHER_DUP_NGRAM
+    )
     ngram_pred = " OR ".join(
         [f"g.top_{n}gram_char_frac > {th}" for n, th in sorted(top_d.items())]
         + [

@@ -430,10 +430,23 @@ def decode_jpeg_ex(
                 return None, 0, 0, seed, "jpeg_truncated"
             if b[pos] != 0xFF:
                 return None, 0, 0, seed, "jpeg_bad_marker"
+            # T.81 B.1.1.2: a marker may be preceded by any number of
+            # 0xFF fill bytes — skip them, or a conforming stream would
+            # mis-read the fill as marker 0xFF and its own marker byte
+            # pair as a segment length
+            while pos + 2 < n and b[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > n:
+                return None, 0, 0, seed, "jpeg_truncated"
             marker = b[pos + 1]
             pos += 2
             if marker == 0xD9:  # EOI before SOS
                 return None, 0, 0, seed, "jpeg_no_scan"
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # TEM / RSTn are standalone markers with NO length
+                # segment (T.81 B.1.1.3) — reading one as a segment
+                # would swallow the following bytes
+                continue
             (seglen,) = struct.unpack(">H", b[pos : pos + 2])
             if seglen < 2 or pos + seglen > n:
                 return None, 0, 0, seed, "jpeg_truncated"
@@ -608,6 +621,17 @@ def decode_jpeg_ex(
                         nbits -= total
                         if run == 16:  # ZRL
                             k += 16
+                            # a ZRL is always FOLLOWED by a coefficient
+                            # (T.81 F.1.2.2.1 uses EOB to end a block),
+                            # so a run past the block is corruption —
+                            # without this check the loop would exit
+                            # silently and the NEXT symbol (the value
+                            # that followed the ZRL) would be
+                            # reinterpreted as the next block's DC
+                            # code: a desynchronized decode that can
+                            # finish with garbage pixels and err=None
+                            if k > 63:
+                                return None, w, h, seed, "jpeg_bad_ac"
                             continue
                         break  # EOB
                     else:  # long code + big category: separate refill

@@ -454,7 +454,8 @@ def _covered_token_frame(
 
     ``with_text=False`` drops the token STRING right after the gram
     hash is computed — the stats-only path (``substring_duplication``
-    with ``include_dedup_text=False``, the q28 graded shape) never
+    with ``include_dedup_text=False``, the default; q28 grades the
+    text path, and a pytest pins the two paths' stats equal) never
     rebuilds text, yet ``tok`` was the widest payload in the
     checkpoint, the salted flag join and the coverage window. The gram
     build itself still reads tokens (the lead window feeds the hash in
@@ -626,9 +627,10 @@ def substring_duplication(
     localCheckpoints it so it runs ONCE (measured 1.6x at 400k docs —
     see the inline note), False recomputes per consumer (the classic
     two-pass shape) when storing the token frame is worse than
-    re-scanning. With ``include_dedup_text=False`` (this default, the
-    q28 graded shape) the token STRING is dropped right after the gram
-    hash: the checkpoint, the salted flag join and the coverage window
+    re-scanning. With ``include_dedup_text=False`` (this default —
+    q28 grades the TEXT path; the slim path's stats are pinned equal
+    to it by test_substring_stats_paths_agree) the token STRING is
+    dropped right after the gram hash: the checkpoint, the salted flag join and the coverage window
     all carry slim (id, pos, h) rows — the token text was their widest
     payload and fed no consumer. The flag join is
     salted on the null-h tail rows (1024 negative keys that by
@@ -646,7 +648,12 @@ def substring_duplication(
             "exclusive: keep_first makes text_dedup the keep-one "
             "rebuild; include_keep_first_text emits BOTH rebuilds"
         )
-    need_first = keep_first or include_keep_first_text
+    # the canonical-occurrence election only feeds a text REBUILD —
+    # without one (keep_first on the stats-only shape) it would be a
+    # wider dup aggregate, two extra join columns and a second window
+    # max that nothing consumes; the stats mask _cov is removal-policy
+    # independent by design, so skipping the election changes nothing
+    need_first = (keep_first and include_dedup_text) or include_keep_first_text
     cov = _covered_token_frame(
         docs,
         k,

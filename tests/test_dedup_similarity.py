@@ -870,6 +870,52 @@ def test_substring_duplication_matches_python_reference(spark, seed):
         assert row["text_dedup"] == exp_txt, (did, text)
 
 
+@pytest.mark.parametrize("seed", [11, 23])
+def test_substring_stats_paths_agree(spark, seed):
+    """The slim stats-only path (include_dedup_text=False drops the
+    token string right after the gram hash) is a DIFFERENT code path
+    from the text path q28 grades — pin their stats columns equal on a
+    randomized collision-heavy corpus so a slim-branch regression can't
+    hide behind the 50/50 gate. Also covers keep_first on the
+    stats-only shape: the election must not change stats (the _cov
+    mask is removal-policy independent), and skipping it there is the
+    documented need_first optimization."""
+    from stop_sync_osm_atlas_spark.operators.dedup import (
+        substring_duplication,
+    )
+
+    k, min_docs = 3, 2
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [
+        (
+            f"d{i:03d}",
+            " ".join(
+                vocab[int(rng.integers(0, len(vocab)))]
+                for _ in range(int(rng.integers(0, 14)))
+            ),
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    stats_cols = ["doc_id", "n_grams", "n_dup_grams", "dup_span_frac"]
+
+    def run(**kw):
+        return (
+            substring_duplication(df, k=k, min_docs=min_docs, **kw)
+            .select(*stats_cols)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    text_path = run(include_dedup_text=True)
+    slim_path = run(include_dedup_text=False)
+    slim_keep_first = run(include_dedup_text=False, keep_first=True)
+    pd.testing.assert_frame_equal(slim_path, text_path)
+    pd.testing.assert_frame_equal(slim_keep_first, text_path)
+
+
 # ---------------------------------------------------------------------------
 # Boundary-padded / vertical-tab tokenization: the three-mirror contract
 # ---------------------------------------------------------------------------

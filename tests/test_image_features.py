@@ -496,6 +496,38 @@ def test_real_jpeg_corrupt_streams_and_bomb_guard():
     assert px is None and err == "too_large" and (w, h) == (65535, 65535)
 
 
+def test_jpeg_fill_bytes_and_standalone_markers_conform():
+    """T.81 B.1.1.2-B.1.1.3 conformance on streams this encoder never
+    emits: 0xFF fill bytes before a marker and standalone TEM (no
+    length segment) must not derail the header walk — a conforming
+    external stream decodes identically, not jpeg_truncated."""
+    from stop_sync_osm_atlas_spark.functions.image import encode_image
+    from stop_sync_osm_atlas_spark.functions.jpeg import decode_jpeg_ex
+
+    good = encode_image(8, 32, 32, "jpeg")
+    ref, w, h, seed, err = decode_jpeg_ex(good, 1 << 24)
+    assert err is None
+
+    # fill bytes after SOI: FF D8 [FF FF FF] FF E0 ...
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    px, pw, ph, pseed, perr = decode_jpeg_ex(padded, 1 << 24)
+    assert perr is None and (pw, ph) == (w, h) and pseed == seed
+    assert np.array_equal(px, ref)
+
+    # standalone TEM marker between header segments: FF D8 FF 01 FF E0
+    tem = good[:2] + b"\xff\x01" + good[2:]
+    px, pw, ph, pseed, perr = decode_jpeg_ex(tem, 1 << 24)
+    assert perr is None and (pw, ph) == (w, h) and pseed == seed
+    assert np.array_equal(px, ref)
+
+    # both at once, deeper in the header (before the DQT marker)
+    i = good.index(b"\xff\xdb")
+    mixed = good[:i] + b"\xff\xd0\xff" + good[i:]
+    px, pw, ph, pseed, perr = decode_jpeg_ex(mixed, 1 << 24)
+    assert perr is None and (pw, ph) == (w, h) and pseed == seed
+    assert np.array_equal(px, ref)
+
+
 def test_jpeg_decoder_fuzz_never_raises():
     """Same adversarial contract as the PNG fuzz pass, on the JFIF
     decoder: mutations, truncations and arbitrary bytes behind the JPEG

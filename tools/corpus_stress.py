@@ -115,7 +115,7 @@ def run_substr(cpus: int, tiles: int, include_text: bool = True) -> dict:
     every doc recurs in all other tiles, so the distinct (h, id) build
     and the coverage join both run at full duplication density.
 
-    ``include_text=False`` probes the STATS-ONLY shape (the q28 graded
+    ``include_text=False`` probes the STATS-ONLY shape (the
     default): the r6 slim-token path where the checkpoint/flag-join/
     coverage rows carry (id, pos, h) and no token strings."""
     from pyspark.sql import functions as F
@@ -238,8 +238,8 @@ def main() -> None:
     ap.add_argument(
         "--stats-only",
         action="store_true",
-        help="--substr variant: include_dedup_text=False (q28 graded "
-        "shape, r6 slim-token path)",
+        help="--substr variant: include_dedup_text=False (the r6 "
+        "slim-token stats-only path)",
     )
     args = ap.parse_args()
 

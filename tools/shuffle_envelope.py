@@ -117,6 +117,14 @@ def main() -> None:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8").split(",")
     ]
+    # exactly two ASCENDING widths, or the lo/hi reads below would
+    # crash (one entry) or silently log an inverted efficiency into
+    # BENCH/BASELINE.md (descending order)
+    if len(widths) != 2 or widths[0] >= widths[1]:
+        raise SystemExit(
+            "SPARK_GRAFT_SCALING_CPUS must be two ascending widths, "
+            f"e.g. '2,8' (got {widths!r})"
+        )
     results = {}
     for c in widths:
         out = subprocess.run(

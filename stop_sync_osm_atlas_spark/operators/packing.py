@@ -16,10 +16,16 @@ web corpus = one straggler task). For low-cardinality keys pass
 ``shards > 1``: rows are salted into ``xxhash64(order_col) % shards``
 sub-keys, packed independently per (key, shard), and bin ids are
 renumbered globally per key by offsetting each shard with the cumulative
-bin count of lower shards — bin ids stay dense and deterministic, at
-the (documented, inherent-to-parallel-packing) cost that docs pack in
-(shard, order_col) order rather than global order_col order, and each
-shard's final partial bin stays partial.
+bin count of lower shards — bin ids stay collision-free and
+deterministic, at the (documented, inherent-to-parallel-packing) cost
+that docs pack in (shard, order_col) order rather than global order_col
+order, and each shard's final partial bin stays partial.
+
+Bin ids are monotone but NOT guaranteed dense in either path:
+floor-of-cumulative-sum skips ids whenever one document exceeds the
+budget (a 2000-token doc at budget 512 fills bin 0 and the next doc
+starts bin 3 — bins 1-2 never exist). Consumers must group by the bin
+VALUE, never iterate 0..max.
 """
 
 from __future__ import annotations
@@ -84,7 +90,14 @@ def pack_bins(
             token_col.alias("_tok"),
             shard.alias("_shard"),
         ).withColumn("_lbin", F.floor(run / F.lit(budget)).cast("long"))
-        # dense global renumbering: offset each shard by the cumulative
+        # the windowed frame feeds TWO consumers (the per-shard bin
+        # counts and the final probe) and Catalyst specializes shared
+        # subtrees — without this the scan, the token expression, the
+        # shuffle sort and the prefix window all run twice (diamond
+        # rule). Lazy localCheckpoint: both consumers read one RDD,
+        # blocks freed by the ContextCleaner.
+        local = local.localCheckpoint(eager=False)
+        # global renumbering: offset each shard by the cumulative
         # bin count of lower shards (a <= shards-row aggregate per key,
         # broadcast back — never a full-data second shuffle)
         per_shard = local.groupBy(part_col, "_shard").agg(

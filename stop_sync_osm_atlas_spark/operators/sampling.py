@@ -65,7 +65,11 @@ def mixture_rates(
     _thr); ``max_epochs > 1`` lets an under-represented domain
     OVERSAMPLE by deterministic replication (epochs), which is how real
     mixture builders hit a target share a rare domain can't supply —
-    capped so no domain repeats more than max_epochs times. The
+    capped so no domain's AVERAGE replication exceeds max_epochs. (At a
+    fractional cap the guarantee is domain-level, not per-doc: a
+    clamped rate of 2.5 gives every doc 2 copies and a deterministic
+    half of them a 3rd — individual docs may repeat ceil(max_epochs)
+    times while the domain's token mass averages the cap.) The
     arithmetic is plain left-associative double ops so a SQL oracle
     reproduces both integers bit-exactly. Keys absent from ``weights``
     get no row (rate 0).

@@ -13,7 +13,13 @@ Two paths:
 - ``lsh_cosine_topk``  — random-hyperplane LSH: sign-bit sketch ->
   band-key equi-join -> exact cosine re-rank within candidates. The
   scale path: corpus is bucketed once (write-time at 100 TB), probes
-  touch matching buckets only.
+  touch matching buckets only. The re-rank (and IVF's) runs through
+  the Arrow ``cosine_arrow_udf`` — the expression `cosine` is
+  CodegenFallback and stays the SQL-shaped baseline only.
+
+Degenerate rows: NULL/empty embeddings are filtered at every operator
+entry (``_usable_vectors``) and zero-norm vectors score NULL cosine —
+see the `cosine` docstring for why NaN would otherwise rank first.
 """
 
 from __future__ import annotations
@@ -41,7 +47,49 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    """NULL (not NaN) when either vector has zero norm: 0/0 would give
+    NaN, which Spark's total order ranks ABOVE every double — a single
+    zero vector (failed encode, padded row) would land at rank 1 of
+    every top-k and pass every `>= threshold` pair filter. NULL instead
+    sorts last under desc and fails the threshold comparison."""
+    den = l2norm(a) * l2norm(b)
+    return F.when(den != 0, dot(a, b) / den)
+
+
+def _usable_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop rows whose embedding is NULL or empty — they carry no
+    geometry, and one such row would otherwise abort a whole Arrow
+    batch mid-job (np.asarray(None) is 0-d; stacking it raises
+    ValueError), the 'one bad row kills a scan' failure mode. The
+    declarative analog of neardup's phash.isNotNull() guard; F.size is
+    codegen'd, so the filter rides the scan."""
+    c = F.col(vec_col)
+    return df.where(c.isNotNull() & (F.size(c) > 0))
+
+
+def cosine_arrow_udf():
+    """Arrow-batched exact cosine — the re-rank workhorse shared by the
+    pair generator and both ANN top-k paths (the expression `cosine`
+    is an aggregate/zip_with lambda: CodegenFallback, interpreted,
+    measured ~10x slower — see signbit_sketch's note). Zero-norm rows
+    yield pd.NA -> SQL NULL, matching the expression variant's
+    contract."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if len(av) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.asarray([np.asarray(x, np.float64) for x in av.tolist()])
+        B = np.asarray([np.asarray(x, np.float64) for x in bv.tolist()])
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        out = pd.Series(
+            np.divide(num, den, out=np.zeros_like(num), where=den != 0),
+            dtype="Float64",
+        )
+        return out.mask(den == 0, pd.NA)
+
+    return _cos
 
 
 def cosine_topk(
@@ -54,11 +102,15 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector (excludes self-match).
 
     Broadcasts the query side — the corpus (the 100 TB side) streams.
+    NULL/empty embeddings are excluded up front (`_usable_vectors`);
+    zero-norm vectors score NULL cosine and so never rank.
     """
-    q = queries.select(
+    q = _usable_vectors(queries, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = _usable_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))
@@ -70,7 +122,9 @@ def cosine_topk(
     )
     win = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(win))
+        # zero-norm candidates score NULL — rank real similarities only
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
@@ -87,12 +141,14 @@ def cosine_pairs(
     Brute-force all-pairs — the exactness baseline for embedding-based
     dedup (LSH-bucketed variant: ``lsh_cosine_topk`` machinery). At
     corpus scale, restrict one side or bucket first; kept exact here
-    because it is the oracle-checkable contract.
+    because it is the oracle-checkable contract. NULL/empty embeddings
+    are excluded; zero-norm vectors score NULL and fail the threshold.
     """
-    e = corpus.select(
+    src = _usable_vectors(corpus, vec_col)
+    e = src.select(
         F.col(id_col).alias("a_id"), F.col(vec_col).cast("array<double>").alias("av")
     )
-    f = corpus.select(
+    f = src.select(
         F.col(id_col).alias("b_id"), F.col(vec_col).cast("array<double>").alias("bv")
     )
     out = (
@@ -157,25 +213,12 @@ def signbit_sketch_udf(planes: np.ndarray):
     return _sk
 
 
-def _banded(
-    df: DataFrame,
-    prefix: str,
-    planes: np.ndarray,
-    band_bits: int,
-    n_bands: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """(id, vec, exploded band struct) — shared by the ANN probe and the
-    pair generator."""
+def _band_structs(band_bits: int, n_bands: int) -> Column:
+    """The (band, key) struct array over a `sketch` column — THE one
+    banding contract (mirrored by the oracle's band-key SQL), shared by
+    the ANN probe and the pair generator."""
     mask = (1 << band_bits) - 1
-    sk = signbit_sketch_udf(planes)(F.col(vec_col).cast("array<double>"))
-    df = df.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        F.col(vec_col).alias(f"{prefix}_vec"),
-        sk.alias("sketch"),
-    )
-    bands = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -186,7 +229,30 @@ def _banded(
             for b in range(n_bands)
         ]
     )
-    return df.select(f"{prefix}_id", f"{prefix}_vec", F.explode(bands).alias("bk"))
+
+
+def _banded(
+    df: DataFrame,
+    prefix: str,
+    planes: np.ndarray,
+    band_bits: int,
+    n_bands: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, exploded band struct) — SLIM: no vector column (every
+    caller re-attaches vectors by id after the candidate dedup, the
+    q44 lesson), so the n_bands-amplified explode never carries the
+    embedding width. NULL/empty embeddings are dropped up front."""
+    df = _usable_vectors(df, vec_col).select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        signbit_sketch_udf(planes)(
+            F.col(vec_col).cast("array<double>")
+        ).alias("sketch"),
+    )
+    return df.select(
+        f"{prefix}_id", F.explode(_band_structs(band_bits, n_bands)).alias("bk")
+    )
 
 
 def cosine_neardup_pairs(
@@ -213,39 +279,25 @@ def cosine_neardup_pairs(
     """
     planes = _hyperplanes(dim, n_planes, seed)
     band_bits = n_planes // n_bands
-    mask = (1 << band_bits) - 1
-    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    # band join carries ONLY (id, band-key): the wide vectors would
-    # multiply the candidate shuffle by the embedding width — they join
-    # back by id after the pair set is distinct
-    sk = base.select(
-        "id",
-        signbit_sketch_udf(planes)(F.col("vec").cast("array<double>")).alias(
-            "sketch"
-        ),
+    base = _usable_vectors(corpus, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    bands = sk.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.shiftrightunsigned(F.col("sketch"), bi * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    )
+    # band join carries ONLY (id, band-key) — `_banded`, the one shared
+    # banding contract: the wide vectors would multiply the candidate
+    # shuffle by the embedding width; they join back by id after the
+    # pair set is distinct. The banded frame feeds BOTH sides of the
+    # self-join and Catalyst specializes shared subtrees, so without
+    # the lazy localCheckpoint the Arrow sketch pass would run twice
+    # (the repo's in-operator diamond rule).
+    bands = _banded(
+        base, "x", planes, band_bits, n_bands, "id", "vec"
+    ).localCheckpoint(eager=False)
     # distinct column names on the two sides: self-join disambiguation
     # via same-name Column refs triggers Spark's trivially-true-predicate
     # WARN and leans on positional resolution — keep it out of the
     # correctness path
-    a = bands.select(F.col("id").alias("a_id"), F.col("bk").alias("bk_a"))
-    b = bands.select(F.col("id").alias("b_id"), F.col("bk").alias("bk_b"))
+    a = bands.select(F.col("x_id").alias("a_id"), F.col("bk").alias("bk_a"))
+    b = bands.select(F.col("x_id").alias("b_id"), F.col("bk").alias("bk_b"))
     pairs = (
         a.join(b, (F.col("bk_a") == F.col("bk_b")) & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id")
@@ -253,17 +305,7 @@ def cosine_neardup_pairs(
     )
     va = base.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
     vb = base.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
-
-    @F.pandas_udf(T.DoubleType())
-    def _cos(av: pd.Series, bv: pd.Series) -> pd.Series:
-        if len(av) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.asarray([np.asarray(x, np.float64) for x in av.tolist()])
-        B = np.asarray([np.asarray(x, np.float64) for x in bv.tolist()])
-        num = (A * B).sum(axis=1)
-        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-        return pd.Series(num / den)
-
+    _cos = cosine_arrow_udf()
     return (
         pairs.join(va, "a_id")
         .join(vb, "b_id")
@@ -288,29 +330,38 @@ def quantize_embeddings(
     """Per-vector symmetric int8 quantization stats (the ANN-memory
     compression step of an embedding pipeline): scale = max|v| / 127,
     q_i = round_half_away(v_i / scale), reported with the L2
-    reconstruction error. One Arrow matvec per batch; rounding is
-    half-away-from-zero to match SQL round() exactly (numpy's default
-    banker's rounding would diverge on exact .5 quotients).
+    reconstruction error. One vectorized Arrow pass per batch; rounding
+    is half-away-from-zero to match SQL round() exactly (numpy's
+    default banker's rounding would diverge on exact .5 quotients).
+    NULL/empty embeddings are excluded; vectors within a batch share
+    one dimensionality (the embedding-table contract, as in
+    ``signbit_sketch_udf``).
     """
 
     @F.pandas_udf("struct<scale:double, recon_err:double>")
     def _q(vecs: pd.Series) -> pd.DataFrame:
-        scales, errs = [], []
-        for v in vecs.tolist():
-            x = np.asarray(v, np.float64)
-            m = np.abs(x).max()
-            if m == 0:
-                scales.append(0.0)
-                errs.append(0.0)
-                continue
-            s = m / 127.0
-            r = x / s
-            q = np.sign(r) * np.floor(np.abs(r) + 0.5)
-            errs.append(float(np.sqrt(((x - q * s) ** 2).sum())))
-            scales.append(float(s))
-        return pd.DataFrame({"scale": scales, "recon_err": errs})
+        # ONE vectorized pass over the whole Arrow batch (the
+        # signbit_sketch_udf pattern) — a per-row Python loop here paid
+        # batch-size rounds of interpreter dispatch for element-wise
+        # arithmetic. All ops are element-wise or per-row reductions,
+        # so results are bit-identical to the row-loop formulation.
+        if len(vecs) == 0:
+            return pd.DataFrame({"scale": [], "recon_err": []})
+        X = np.asarray(
+            [np.asarray(v, np.float64) for v in vecs.tolist()], dtype=np.float64
+        )
+        m = np.abs(X).max(axis=1)
+        s = m / 127.0
+        safe = np.where(s == 0, 1.0, s)
+        R = X / safe[:, None]
+        Q = np.sign(R) * np.floor(np.abs(R) + 0.5)
+        err = np.sqrt(((X - Q * safe[:, None]) ** 2).sum(axis=1))
+        zero = m == 0
+        return pd.DataFrame(
+            {"scale": np.where(zero, 0.0, s), "recon_err": np.where(zero, 0.0, err)}
+        )
 
-    return corpus.select(
+    return _usable_vectors(corpus, vec_col).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).select(
@@ -331,13 +382,21 @@ def _nearest_centroids_udf(centroids: np.ndarray, n: int):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _nc(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs.tolist():
-            x = np.asarray(v, np.float64)
-            d = np.sqrt(((C - x) ** 2).sum(axis=1))
-            order = np.lexsort((np.arange(len(C)), d))
-            out.append([int(c) for c in order[:n]])
-        return pd.Series(out)
+        # one broadcasted (batch x k x dim) pass per Arrow batch; the
+        # subtract-square-sum per element is IDENTICAL arithmetic to
+        # the per-row loop (no a^2+b^2-2ab re-association, which could
+        # flip near-tie assignments vs the SQL oracle), sqrt kept for
+        # the same reason (it can merge ties the squared form
+        # distinguishes), and argsort(kind='stable') is exactly the
+        # lexsort-(cid, dist) tie-break.
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        X = np.asarray(
+            [np.asarray(v, np.float64) for v in vecs.tolist()], dtype=np.float64
+        )
+        D = np.sqrt(((C[None, :, :] - X[:, None, :]) ** 2).sum(axis=2))
+        order = np.argsort(D, axis=1, kind="stable")[:, :n]
+        return pd.Series([[int(c) for c in row] for row in order])
 
     return _nc
 
@@ -367,8 +426,20 @@ def ivf_cosine_topk(
     never raw vectors); at corpus scale the index is write-time
     bucketing and a probe touches ~n_probe/n_centroids of the data.
     """
-    base = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    # base feeds n_iters+2 eager consumers (init collect, one means
+    # collect per Lloyd step, the final indexing) plus the returned
+    # frame — without a checkpoint every one re-runs the corpus scan,
+    # the array cast and the assignment UDF (diamond-plan rule). Lazy
+    # localCheckpoint: the init collect materializes it once, every
+    # later pass reads the same RDD, blocks freed by the
+    # ContextCleaner when the result is dropped.
+    base = (
+        _usable_vectors(corpus, vec_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .localCheckpoint(eager=False)
     )
     C = np.array(
         [r["v"] for r in base.orderBy("id").limit(n_centroids).collect()],
@@ -393,21 +464,24 @@ def ivf_cosine_topk(
         assign(F.col("v"))[0].alias("cid"),
     )
     probes = _nearest_centroids_udf(C, n_probe)
-    qp = queries.select(
+    qp = _usable_vectors(queries, vec_col).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     ).withColumn("cid", F.explode(probes(F.col("q_vec"))))
     cands = indexed.join(F.broadcast(qp), "cid").where(
         F.col("q_id") != F.col("c_id")
     )
+    _cos = cosine_arrow_udf()
     scored = cands.select(
         "q_id",
         "c_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(_cos(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
     )
     win = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(win))
+        # zero-norm candidates score NULL — rank real similarities only
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )
@@ -437,8 +511,7 @@ def lsh_cosine_topk(
     # would otherwise ride both shuffles. Vectors re-attach by id after
     # distinct (the q44 lesson: 13.6s -> 2.9s at sf0.1).
     cands = (
-        cb.drop("c_vec")
-        .join(F.broadcast(qb.drop("q_vec")), cb["bk"] == qb["bk"])
+        cb.join(F.broadcast(qb), cb["bk"] == qb["bk"])
         .where(F.col("q_id") != F.col("c_id"))
         .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
@@ -449,6 +522,7 @@ def lsh_cosine_topk(
     qvec = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
+    _cos = cosine_arrow_udf()
     scored = (
         cands.join(cvec, "c_id")
         .join(F.broadcast(qvec), "q_id")
@@ -456,7 +530,7 @@ def lsh_cosine_topk(
             "q_id",
             "c_id",
             F.round(
-                cosine(
+                _cos(
                     F.col("q_vec").cast("array<double>"),
                     F.col("c_vec").cast("array<double>"),
                 ),
@@ -466,7 +540,9 @@ def lsh_cosine_topk(
     )
     win = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(win))
+        # zero-norm candidates score NULL — rank real similarities only
+        scored.where(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
         .select("q_id", "c_id", "cos_sim", "rank")
     )

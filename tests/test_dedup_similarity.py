@@ -109,6 +109,51 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.3, recall  # banded 16-bit sketch on random vectors
 
 
+def test_similarity_survives_degenerate_embeddings(spark):
+    """NULL, empty and all-zero embeddings must neither crash an Arrow
+    batch (np stacking a None raises ValueError) nor rank first (0/0 ->
+    NaN sorts ABOVE every double in Spark's total order): every
+    similarity op filters NULL/empty rows up front and scores zero-norm
+    vectors NULL cosine."""
+    import pyspark.sql.types as ST
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)]
+    rows += [(100, None), (101, []), (102, [0.0] * 8)]
+    schema = ST.StructType(
+        [
+            ST.StructField("vec_id", ST.LongType()),
+            ST.StructField("embedding", ST.ArrayType(ST.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    queries = emb.filter(F.col("vec_id") < 3)
+    bad = {100, 101, 102}
+
+    topk = SIM.cosine_topk(emb, queries, k=3).toPandas()
+    assert len(topk) and not (set(topk["c_id"]) & bad)
+    lsh = SIM.lsh_cosine_topk(
+        emb, queries, k=3, dim=8, n_planes=8, n_bands=4
+    ).toPandas()
+    assert not (set(lsh["c_id"]) & bad)
+    ivf = SIM.ivf_cosine_topk(
+        emb, queries, k=3, n_centroids=4, n_probe=4
+    ).toPandas()
+    assert len(ivf) and not (set(ivf["c_id"]) & bad)
+    pairs = SIM.cosine_pairs(emb, threshold=-2.0).toPandas()
+    assert len(pairs) and not (
+        (set(pairs["a_id"]) | set(pairs["b_id"])) & bad
+    )
+    banded = SIM.cosine_neardup_pairs(
+        emb, threshold=-2.0, dim=8, n_planes=8, n_bands=4
+    ).toPandas()
+    assert not ((set(banded["a_id"]) | set(banded["b_id"])) & bad)
+    quant = SIM.quantize_embeddings(emb).toPandas()
+    assert set(quant["vec_id"]) == set(range(20)) | {102}
+    z = quant.set_index("vec_id").loc[102]
+    assert z["scale"] == 0.0 and z["recon_err"] == 0.0
+
+
 def test_shingle_df_cap_kills_quadratic_blowup(spark):
     # pathological corpus: every doc shares one boilerplate sentence ->
     # uncapped blocking joins all pairs; the cap drops the hot shingle

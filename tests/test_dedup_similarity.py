@@ -266,6 +266,39 @@ def test_arrow_sketch_equals_expression_sketch(spark):
     assert (both["expr_sk"] == both["arrow_sk"]).all()
 
 
+def test_arrow_cosine_equals_expression_cosine(spark):
+    """Every similarity projection now runs the Arrow cosine; the
+    expression `cosine` remains the SQL-shaped contract — pin the two
+    equal at the graded 6-decimal rounding, including the shared NULL
+    verdict on zero-norm vectors."""
+    rng = np.random.default_rng(33)
+    rows = [
+        (i, rng.standard_normal(16).tolist(), rng.standard_normal(16).tolist())
+        for i in range(300)
+    ]
+    rows.append((300, [0.0] * 16, rng.standard_normal(16).tolist()))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "a", "b"]))
+    both = df.select(
+        "i",
+        F.round(
+            SIM.cosine(
+                F.col("a").cast("array<double>"), F.col("b").cast("array<double>")
+            ),
+            6,
+        ).alias("expr_cos"),
+        F.round(
+            SIM.cosine_arrow_udf()(
+                F.col("a").cast("array<double>"), F.col("b").cast("array<double>")
+            ),
+            6,
+        ).alias("arrow_cos"),
+    ).toPandas()
+    zero = both.set_index("i").loc[300]
+    assert pd.isna(zero["expr_cos"]) and pd.isna(zero["arrow_cos"])
+    rest = both[both["i"] != 300]
+    assert (rest["expr_cos"] == rest["arrow_cos"]).all()
+
+
 def test_ivf_ann_recall(spark):
     """IVF probes 4/16 buckets and must still recover most exact
     neighbors (operators/similarity.ivf_cosine_topk)."""

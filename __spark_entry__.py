@@ -537,8 +537,14 @@ def q19_sessionize(spark, sf):
     staged file, so per-user counts must equal the batch window's
     exactly (the oracle re-derives one CTE and projects it under both
     mode labels). Multi-batch updates, if any, resolve by max(): both
-    counters are monotone and updated together."""
-    e = _t(spark, sf, "events")
+    counters are monotone and updated together.
+
+    Null-ts events are excluded in ALL THREE mirrors (engine filter
+    here feeds both arms via the staged copy; WHERE ts IS NOT NULL in
+    the oracle; the stateful operator drops NaT rows itself): an event
+    without a timestamp cannot be sessionized, and the engines disagree
+    on null ordering (Spark orderBy nulls first, pandas NaT last)."""
+    e = _t(spark, sf, "events").where(F.col("ts").isNotNull())
     win = W.partitionBy("user_id").orderBy("ts", "event_id")
     # unix_micros, not unix_timestamp: integer-truncated seconds disagree
     # with the stream arm and the oracle's fractional epoch on sub-second
@@ -2377,6 +2383,7 @@ WITH sess AS (
            OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
            THEN 1 ELSE 0 END AS new_sess
     FROM events
+    WHERE ts IS NOT NULL
   ) GROUP BY user_id
 )
 SELECT user_id, n_sessions, n_events, 'batch' AS mode FROM sess

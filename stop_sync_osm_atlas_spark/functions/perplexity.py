@@ -105,8 +105,18 @@ def perplexity_scores(texts: pd.Series, log_prob: np.ndarray) -> np.ndarray:
 
 
 def perplexity_udf(log_prob: np.ndarray):
+    """NULL (not NaN) for rows with no scoreable text (None/empty/no
+    encodable chars): `perplexity_scores` marks them NaN, but Spark's
+    total order puts NaN ABOVE every double, so `ppl > threshold` would
+    FIRE the high_perplexity rule on every blank row — while the pandas
+    oracle (oracle.py 'marker path has no ppl signal') and a null-aware
+    SQL mirror say False. NULL makes the comparison null -> the when
+    falls through, aligning all three mirrors: an undefined signal
+    never trips a threshold gate."""
+
     @F.pandas_udf(T.DoubleType())
     def _ppl(captions: pd.Series) -> pd.Series:
-        return pd.Series(perplexity_scores(captions, log_prob))
+        vals = perplexity_scores(captions, log_prob)
+        return pd.Series(vals, dtype="Float64").mask(np.isnan(vals), pd.NA)
 
     return _ppl

@@ -13,7 +13,9 @@ Contract (deterministic, order-preserving):
    so a tab-padded boilerplate line and its space-padded twin collapse
    to ONE form; web nav/footer lines arrive with every padding).
 2. WITHIN a document: keep only the FIRST occurrence of each normalized
-   line (by line position).
+   line (by line position) — unless the form is empty: blank separator
+   lines all stay (mirroring step 3's carve-out; the engine, the DuckDB
+   oracle's ``rk = 1 OR form = ''`` and the pandas reference all agree).
 3. ACROSS the corpus: drop every line whose normalized form occurs in
    more than ``max_line_df`` DISTINCT documents (the boilerplate
    threshold), unless the form is empty (blank separators stay).
@@ -89,6 +91,12 @@ def ngram_stats(
     all_ns = sorted(set(top_ns) | set(dup_ns) | {1})
     if min(all_ns) < 1:
         raise ValueError("ngram_stats needs n >= 1")
+    if len(set(top_ns)) != len(tuple(top_ns)) or len(set(dup_ns)) != len(
+        tuple(dup_ns)
+    ):
+        # a repeated n would emit two identical _t{n}/_d{n} aggregate
+        # aliases and crash later with an opaque AMBIGUOUS_REFERENCE
+        raise ValueError("ngram_stats: top_ns/dup_ns must not repeat an n")
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(words(F.col(text_col))).alias("pos", "tok"),
@@ -294,7 +302,17 @@ def clean_lines(
     split_c = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
     raw = docs.select(
         F.col(id_col).alias("id"),
-        F.size(split_c).alias("n_in"),
+        # n_in = size(split_c), but size(split) would SPLIT THE TEXT A
+        # SECOND TIME (the Project under Generate evaluates it before
+        # posexplode re-evaluates the split): count separators instead
+        # — split keeps trailing empties (limit -1), so size is always
+        # newline-count + 1, one regexp scan, no second array build.
+        # Deriving it from max(pos) downstream is NOT equivalent: rows
+        # are dropped between the explode and the rebuild aggregate.
+        (
+            F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit("\n"))
+            + F.lit(1)
+        ).cast("int").alias("n_in"),
         F.posexplode(split_c).alias("pos", "line"),
     ).withColumn("form", F.lower(trim_ws(F.col("line"))))
 

@@ -24,20 +24,42 @@ from ..operators.rules import RuleConfig, metadata_rule_hits, signal_rule_hits, 
 from ..schemas import PAIRS_SCHEMA
 
 
+def _resolve_stream(scored: DataFrame, cfg: RuleConfig) -> DataFrame:
+    """Shared rule resolution for both streaming transforms, mirroring
+    run_cascade's scrub derivation: ONE caption_scrubbed_pre column
+    feeds the scrub hit, the pii-residue hit and the final scrubbed
+    caption, instead of three independent full regexp_replace ladders
+    (scrub_hit + pii_only_hit + with_scrub each re-ran the ~1 ms/row
+    PII+toxicity alternation; CollapseProject still re-expands per
+    REFERENCE, but the reference count is bounded at three and the
+    derivation is now the same code shape the batch cascade uses)."""
+    scored = scored.withColumn("is_cluster_rep", F.lit(True)).withColumn(
+        "caption_scrubbed_pre", SCRUB.scrubbed_caption(F.col("caption"))
+    )
+    hits = metadata_rule_hits(scored, cfg)
+    hits.update(signal_rule_hits(cfg))
+    s_hit = F.col("caption").isNotNull() & (
+        F.col("caption_scrubbed_pre") != F.col("caption")
+    )
+    p_hit = SCRUB.pii_only_from_scrubbed(
+        F.col("caption"), F.col("caption_scrubbed_pre")
+    )
+    resolved = with_rule_resolution(scored, hits, s_hit, p_hit)
+    return resolved.withColumn(
+        "caption_scrubbed",
+        F.when(
+            F.col("decision") == "scrub", F.col("caption_scrubbed_pre")
+        ).otherwise(F.col("caption")),
+    )
+
+
 def stream_decisions(
     spark: SparkSession, input_dir: str, cfg: RuleConfig | None = None
 ) -> DataFrame:
     """readStream over a parquet directory -> streaming decisions frame."""
     cfg = cfg or RuleConfig()
     pairs = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
-    scored = score_signals(pairs, cfg)
-    scored = scored.withColumn("is_cluster_rep", F.lit(True))
-    hits = metadata_rule_hits(scored, cfg)
-    hits.update(signal_rule_hits(cfg))
-    resolved = with_rule_resolution(
-        scored, hits, SCRUB.scrub_hit(F.col("caption")), SCRUB.pii_only_hit(F.col("caption"))
-    )
-    resolved = SCRUB.with_scrub(resolved)
+    resolved = _resolve_stream(score_signals(pairs, cfg), cfg)
     return resolved.select(
         "image_id", "decision", "rule", "severity", "caption_scrubbed", "lang"
     )
@@ -55,19 +77,15 @@ def stream_metrics(
     The streaming edition of the per-run summary rollup (reference
     matching_script.py:614-653): each micro-batch's decisions aggregate
     into event-time windows; the watermark bounds state for late rows.
-    Event time comes from an ingest timestamp column if present, else
-    processing time stamped at source.
+    Event time is PROCESSING time stamped at source (PAIRS_SCHEMA
+    carries no event-time column — ingest_ts = current_timestamp());
+    a deployment whose rows arrive with a real event-time column would
+    watermark that column instead.
     """
     cfg = cfg or RuleConfig()
     pairs = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
     pairs = pairs.withColumn("ingest_ts", F.current_timestamp())
-    scored = score_signals(pairs, cfg)
-    scored = scored.withColumn("is_cluster_rep", F.lit(True))
-    hits = metadata_rule_hits(scored, cfg)
-    hits.update(signal_rule_hits(cfg))
-    resolved = with_rule_resolution(
-        scored, hits, SCRUB.scrub_hit(F.col("caption")), SCRUB.pii_only_hit(F.col("caption"))
-    )
+    resolved = _resolve_stream(score_signals(pairs, cfg), cfg)
     return (
         resolved.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window), "decision")
@@ -87,8 +105,12 @@ def run_stream_to_memory(
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    # same exception-safe shape as stage_and_drain_many: an interrupted
+    # drain must not leave the query running against input_dir
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -230,6 +252,13 @@ def stream_sessionize(
             last_ts, n_sess, n_ev = None, 0, 0
         chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
         allof = _pd.concat(chunks).sort_values(["ts", "event_id"])
+        # EVENTS_SCHEMA's ts is nullable and NaT.value is INT64_MIN —
+        # one null-ts event would poison last_ts so the next event
+        # always opens a spurious session (and pandas sorts NaT LAST
+        # while the batch arm's orderBy puts nulls FIRST, so the two
+        # graded mirrors would diverge). An event without a timestamp
+        # cannot be sessionized: drop it in every mirror.
+        allof = allof[allof["ts"].notna()]
         gap_us = gap_s * 1_000_000
         for t in allof["ts"]:
             ts_us = t.value // 1000  # ns -> us, exact integer
@@ -237,6 +266,10 @@ def stream_sessionize(
                 n_sess += 1
             last_ts = ts_us
             n_ev += 1
+        if last_ts is None:
+            # no prior state and no timestamped event in this batch:
+            # nothing to record (int(None) would crash the task)
+            return
         state.update((int(last_ts), int(n_sess), int(n_ev)))
         yield _pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}

@@ -73,6 +73,34 @@ def test_perplexity_separates_gibberish():
     )
 
 
+def test_perplexity_udf_null_for_unscoreable_rows(spark):
+    """Blank/None text has NO perplexity: the UDF must emit SQL NULL,
+    not NaN — Spark orders NaN above every double, so `ppl > thr`
+    (the high_perplexity rule) would fire on every blank row while the
+    pandas oracle says False (the three-mirror break the r6 review
+    caught)."""
+    from pyspark.sql import functions as F
+
+    from stop_sync_osm_atlas_spark.functions.perplexity import perplexity_udf
+
+    texts, _ = _training_corpus()
+    lp = train_char_bigram(texts)
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": [0, 1, 2], "cap": [texts[0], None, ""]})
+    )
+    out = (
+        df.withColumn("ppl", perplexity_udf(lp)(F.col("cap")))
+        .withColumn("hi", F.col("ppl") > F.lit(1e9))
+        .toPandas()
+        .set_index("i")
+    )
+    assert np.isfinite(out.loc[0, "ppl"])
+    assert pd.isna(out.loc[1, "ppl"]) and pd.isna(out.loc[2, "ppl"])
+    # the rule comparison falls through as null (never True) on them
+    assert out.loc[1, "hi"] is not True and out.loc[2, "hi"] is not True
+    assert out.loc[0, "hi"] == False  # a real score still compares
+
+
 def test_codec_roundtrip_psnr():
     for fmt, check in [("png", lambda p: p == float("inf")), ("jpeg", lambda p: p >= 40)]:
         b = encode_image(123, 64, 64, fmt)
@@ -154,16 +182,25 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     import pandas as _pd
 
     base = _pd.Timestamp("2024-01-01 00:00:00.250000")
+    # ...plus null-ts hardening: 990003 has one NaT event among valid
+    # ones (must be ignored, not poison last_ts with INT64_MIN or open
+    # a spurious session) and 990004 has ONLY NaT events (must be
+    # absent from the output of both arms)
     planted = spark.createDataFrame(
         _pd.DataFrame(
             {
-                "event_id": [900001, 900002, 900003, 900004],
-                "user_id": [990001, 990001, 990002, 990002],
+                "event_id": [900001, 900002, 900003, 900004, 900005,
+                             900006, 900007],
+                "user_id": [990001, 990001, 990002, 990002, 990003,
+                            990003, 990004],
                 "ts": [
                     base,
                     base + _pd.Timedelta(microseconds=1_800_000_001),
                     base,
                     base + _pd.Timedelta(microseconds=1_800_000_000),
+                    base,
+                    _pd.NaT,
+                    _pd.NaT,
                 ],
             }
         )
@@ -184,7 +221,8 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     q.stop()
     got = spark.sql("SELECT * FROM sess_stream").toPandas().set_index("user_id")
 
-    ev = spark.read.parquet(d)
+    # the q19 contract: null-ts events are excluded in every mirror
+    ev = spark.read.parquet(d).where(F.col("ts").isNotNull())
     win = W.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     gap = ts_us - F.lag(ts_us).over(win)
@@ -204,6 +242,10 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     # the planted boundary users resolved the same way in both engines
     assert got.loc[990001, "n_sessions"] == 2  # 1800.000001 s gap
     assert got.loc[990002, "n_sessions"] == 1  # exactly 1800.0 s gap
+    # null-ts hardening: the NaT event neither counts nor poisons state
+    assert got.loc[990003, "n_sessions"] == 1
+    assert got.loc[990003, "n_events"] == 1
+    assert 990004 not in got.index  # only-NaT user: no output row
     shutil.rmtree(d)
 
 

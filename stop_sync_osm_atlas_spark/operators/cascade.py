@@ -21,7 +21,6 @@ from .rules import RuleConfig, metadata_rule_hits, signal_rule_hits, with_rule_r
 
 def score_signals(
     pairs: DataFrame,
-    cfg: RuleConfig,
     langid_udf=None,
     perplexity_udf=None,
 ) -> DataFrame:
@@ -93,7 +92,7 @@ def run_cascade(
         base = decode_validate_inline(pairs)
     else:
         base = pairs.drop("bytes").withColumn("dec_ok", F.lit(True))
-    scored = score_signals(base, cfg, langid_udf, perplexity_udf)
+    scored = score_signals(base, langid_udf, perplexity_udf)
 
     # ---- hit bitmask, computed BEFORE the cluster join -----------------
     # The resolution ladder + reasons array + severity reference every
@@ -195,8 +194,15 @@ def metrics_rollup(decisions: DataFrame, run_id: str) -> DataFrame:
         F.sum(F.when(F.col("decision") == "keep", 1).otherwise(0)).alias("n_keep"),
         F.sum(F.when(F.col("decision") == "drop", 1).otherwise(0)).alias("n_drop"),
         F.sum(F.when(F.col("decision") == "scrub", 1).otherwise(0)).alias("n_scrub"),
+        # count each cluster in the bucket of its REPRESENTATIVE row
+        # (exactly one per cluster): conditioning on cluster_size alone
+        # counted a cluster once per bucket its members hash into, so
+        # SUM over the rollup overcounted clusters ~cluster_size-fold
         F.countDistinct(
-            F.when(F.col("cluster_size") > 1, F.col("cluster_id"))
+            F.when(
+                (F.col("cluster_size") > 1) & F.col("is_cluster_rep"),
+                F.col("cluster_id"),
+            )
         ).alias("n_neardup_clusters"),
         F.sum(F.when(F.col("rule") == "override", 1).otherwise(0)).alias(
             "n_overridden"

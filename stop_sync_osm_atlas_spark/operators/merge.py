@@ -91,7 +91,18 @@ def strict_merge_with_fallbacks(
     # |probe| x |candidates-per-key| intermediate (quadratic in group
     # size); two-key hashing keeps it linear. Null k2 never equi-matches,
     # which is exactly the reference's pd.notna(nref) gate.
-    bt = b.withColumn("_btok", F.element_at(F.split(F.col("_bid"), ":"), -1))
+    # try_cast the STRING token to key2's type, not the reverse: under
+    # Spark 4 ANSI a plain `_pk2 == _btok` with a numeric key2 coerces
+    # the token and THROWS CAST_INVALID_INPUT on the first build id
+    # whose last token is non-numeric ('sloid:7000:west') — one such
+    # row would kill the whole merge. try_cast makes it null, which
+    # never equi-matches (the same no-match outcome the reference's
+    # pd.notna gate produces); a string key2 compares unchanged.
+    k2_type = dict(probe.dtypes)[key2]
+    bt = b.withColumn(
+        "_btok",
+        F.element_at(F.split(F.col("_bid"), ":"), -1).try_cast(k2_type),
+    )
     suffix = (
         rem2.join(
             bt,

@@ -32,10 +32,16 @@ def apply_overrides(
     """
     if overrides is None:
         return decisions.withColumn("overridden", F.lit(False))
-    ov = overrides.select(
-        F.col("image_id").alias("_ov_image_id"),
-        F.col("forced_decision").alias("_ov_decision"),
-    ).dropDuplicates(["_ov_image_id"])
+    # conflicting override rows for one image (nothing upstream
+    # enforces id-uniqueness — the reference's uniqueness key is a
+    # 3-tuple) must resolve DETERMINISTICALLY: dropDuplicates keeps
+    # whichever row a scan meets first, which varies with file layout
+    # and would break the checkpointed byte-identical-resume guarantee.
+    # max(forced_decision) is the total-order tie-break (same policy
+    # family as min-id rep election), mirrored in the pandas oracle.
+    ov = overrides.groupBy(
+        F.col("image_id").alias("_ov_image_id")
+    ).agg(F.max("forced_decision").alias("_ov_decision"))
     if broadcast:
         ov = F.broadcast(ov)
     joined = decisions.join(

@@ -213,8 +213,11 @@ def run_oracle(
 
     ov_map: dict[str, str] = {}
     if overrides is not None and len(overrides):
-        ov_map = dict(
-            zip(overrides["image_id"], overrides["forced_decision"])
+        # conflicting rows resolve by max(forced_decision) — the
+        # engine's deterministic tie-break (apply_overrides); a
+        # last-row-wins dict would depend on input file order
+        ov_map = (
+            overrides.groupby("image_id")["forced_decision"].max().to_dict()
         )
 
     sw = set(ALL_STOPWORDS)

@@ -29,6 +29,24 @@ class CheckpointedWriter:
         self.root = root
         self.n_groups = n_groups
         os.makedirs(self._marker_dir(), exist_ok=True)
+        # pin n_groups to the root: resuming with a different count
+        # would re-assign every row's group (pmod changes) while the
+        # old markers still claim their groups — silently duplicating
+        # recomputed rows and dropping marker-skipped ones
+        meta = os.path.join(self._marker_dir(), "meta.json")
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                prev = json.load(fh).get("n_groups")
+            if prev != n_groups:
+                raise ValueError(
+                    f"checkpoint root {root} was written with "
+                    f"n_groups={prev}; resuming with n_groups="
+                    f"{n_groups} would corrupt the committed groups"
+                )
+        else:
+            with open(meta + ".tmp", "w") as fh:
+                json.dump({"n_groups": n_groups}, fh)
+            os.rename(meta + ".tmp", meta)
 
     def _marker_dir(self) -> str:
         return os.path.join(self.root, "_commits")
@@ -57,8 +75,17 @@ class CheckpointedWriter:
         part = decisions.where(
             F.pmod(F.col("part_bucket"), F.lit(self.n_groups)) == group
         )
-        tmp = self._group_dir(group) + ".tmp"
+        # tmp lives OUTSIDE root/decisions so a dir orphaned by a
+        # mid-write crash can never leak into read_all's partition
+        # discovery: the old in-place 'group=N.tmp' was discovered as
+        # partition value 'N.tmp' and duplicated the group's rows after
+        # resume. (An underscore prefix does NOT hide it — Spark keeps
+        # _-prefixed names that contain '=' precisely so partition
+        # columns may start with underscore, e.g. run()'s
+        # _commit_group=; pinned by test_resume_guards.)
+        tmp = os.path.join(self.root, f"group_tmp_{group}")
         final = self._group_dir(group)
+        os.makedirs(os.path.join(self.root, "decisions"), exist_ok=True)
         shutil.rmtree(tmp, ignore_errors=True)
         part.write.mode("overwrite").parquet(tmp)
         n = part.sparkSession.read.parquet(tmp).count()

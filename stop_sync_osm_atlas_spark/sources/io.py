@@ -15,8 +15,16 @@ from pyspark.sql import types as T
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg classes are actually on the JVM classpath.
+
+    py4j returns a JavaPackage placeholder (it does NOT raise) for a
+    missing class, so the old attribute-access probe reported True on
+    every cluster — Class.forName is the real check (it throws
+    ClassNotFoundException, surfacing here as Py4JJavaError)."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # type: ignore[attr-defined]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
+            "org.apache.iceberg.Table"
+        )
         return True
     except Exception:
         return False

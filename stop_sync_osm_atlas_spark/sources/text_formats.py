@@ -200,8 +200,13 @@ def read_zip_csv(
                         if not member.endswith(inner_suffix):
                             continue
                         with zf.open(member) as fh:
+                            # utf-8-sig: GTFS explicitly permits a BOM
+                            # (and Excel emits one); plain utf-8 would
+                            # leave U+FEFF glued to the first header
+                            # name and fail the by-name bind below on a
+                            # spec-compliant feed
                             out = pd.read_csv(
-                                io.TextIOWrapper(fh, encoding="utf-8"),
+                                io.TextIOWrapper(fh, encoding="utf-8-sig"),
                                 sep=sep,
                                 header=0,
                                 dtype=object,
@@ -223,6 +228,13 @@ def read_zip_csv(
     parsed = raw.mapInPandas(
         _extract, schema=T.StructType([T.StructField(f.name, T.StringType()) for f in schema.fields])
     )
+    # try_cast, not cast: under Spark 4 ANSI one malformed numeric cell
+    # in any zip member ('unknown' in a lat column) would throw
+    # CAST_INVALID_INPUT and kill the whole import; try_cast nulls the
+    # cell (the CLAUDE.md text-feed rule, same as read_fixed_width)
     return parsed.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        *[
+            F.col(f.name).try_cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
     )

@@ -59,7 +59,7 @@ def stream_decisions(
     """readStream over a parquet directory -> streaming decisions frame."""
     cfg = cfg or RuleConfig()
     pairs = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
-    resolved = _resolve_stream(score_signals(pairs, cfg), cfg)
+    resolved = _resolve_stream(score_signals(pairs), cfg)
     return resolved.select(
         "image_id", "decision", "rule", "severity", "caption_scrubbed", "lang"
     )
@@ -85,7 +85,7 @@ def stream_metrics(
     cfg = cfg or RuleConfig()
     pairs = spark.readStream.schema(PAIRS_SCHEMA).parquet(input_dir)
     pairs = pairs.withColumn("ingest_ts", F.current_timestamp())
-    resolved = _resolve_stream(score_signals(pairs, cfg), cfg)
+    resolved = _resolve_stream(score_signals(pairs), cfg)
     return (
         resolved.withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window), "decision")

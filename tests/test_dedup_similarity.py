@@ -250,6 +250,82 @@ def test_strict_merge_tiers(spark):
     assert "s4" not in out.index and "s5" not in out.index
 
 
+def test_strict_merge_numeric_key2_survives_text_tokens(spark):
+    """Tier-3 with an INT key2 against build ids whose last ':'-token
+    is non-numeric: under Spark 4 ANSI the old string==int comparison
+    coerced the token and threw CAST_INVALID_INPUT on 'x:300:west',
+    killing the merge; try_cast makes it a clean no-match."""
+    import pyspark.sql.types as ST
+
+    from stop_sync_osm_atlas_spark.operators.merge import (
+        strict_merge_with_fallbacks,
+    )
+
+    probe = spark.createDataFrame(
+        [("s1", "300", 5), ("s2", "300", 99)],
+        ST.StructType(
+            [
+                ST.StructField("probe_id", ST.StringType()),
+                ST.StructField("k1", ST.StringType()),
+                ST.StructField("k2", ST.IntegerType()),
+            ]
+        ),
+    )
+    build = spark.createDataFrame(
+        [
+            ("c:300:5", "300", 8),
+            ("x:300:west", "300", 6),  # non-numeric suffix token
+        ],
+        ST.StructType(
+            [
+                ST.StructField("build_id", ST.StringType()),
+                ST.StructField("k1", ST.StringType()),
+                ST.StructField("k2", ST.IntegerType()),
+            ]
+        ),
+    )
+    out = (
+        strict_merge_with_fallbacks(probe, build)
+        .toPandas()
+        .set_index("probe_id")
+    )
+    assert out.loc["s1", "tier"] == "suffix_token"
+    assert out.loc["s1", "build_id"] == "c:300:5"
+    assert "s2" not in out.index
+
+
+def test_apply_overrides_conflicts_resolve_deterministically(spark):
+    """Two override rows for one image must resolve by
+    max(forced_decision) — dropDuplicates kept an arbitrary scan-order
+    winner, which varied with file layout and broke byte-identical
+    resume; the pandas oracle mirrors the same max."""
+    from stop_sync_osm_atlas_spark.operators.overrides import apply_overrides
+
+    dec = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["i1", "i2"],
+                "decision": ["keep", "keep"],
+                "rule": ["keep", "keep"],
+                "severity": [9, 9],
+                "reasons": [[], []],
+            }
+        )
+    )
+    ov = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["i1", "i1", "i1"],
+                "forced_decision": ["drop", "scrub", "keep"],
+            }
+        )
+    )
+    out = apply_overrides(dec, ov).toPandas().set_index("image_id")
+    assert out.loc["i1", "decision"] == "scrub"  # max('drop','keep','scrub')
+    assert out.loc["i1", "rule"] == "override"
+    assert out.loc["i2", "decision"] == "keep" and not out.loc["i2", "overridden"]
+
+
 def test_arrow_sketch_equals_expression_sketch(spark):
     """The Arrow-batched hyperplane sketch must be bit-identical to the
     Catalyst-expression reference implementation (signbit_sketch is the

@@ -49,6 +49,37 @@ def test_resume_identical_to_clean_run(spark, fixture_paths, nd_kwargs, tmp_path
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_resume_guards(spark, fixture_paths, nd_kwargs, tmp_path):
+    """Two crash-consistency guards added by the r6 review:
+    (a) resuming a root with a DIFFERENT n_groups must refuse — the
+    pmod re-grouping would duplicate recomputed rows while markers
+    still skip old ones; (b) a tmp dir orphaned by a mid-write crash
+    must be invisible to read_all (the old in-place 'group=N.tmp' name
+    was discovered as a partition and duplicated the group's rows;
+    NOTE an underscore prefix does NOT hide it — Spark keeps
+    _-prefixed names containing '=' as partition dirs — hence the tmp
+    now lives outside root/decisions entirely)."""
+    import os
+
+    import pytest
+
+    dec = _decisions(spark, fixture_paths, nd_kwargs)
+    root = str(tmp_path / "guards")
+    w = CheckpointedWriter(root, n_groups=2)
+    w.run(dec)
+    with pytest.raises(ValueError, match="n_groups"):
+        CheckpointedWriter(root, n_groups=4)
+
+    # plant an orphaned tmp dir (the writer's actual tmp path) with
+    # REAL parquet rows in it
+    orphan = os.path.join(root, "group_tmp_0")
+    w.read_all(spark).limit(5).write.parquet(orphan)
+    n_before = w.read_all(spark).count()
+    clean = CheckpointedWriter(str(tmp_path / "guards_ref"), n_groups=2)
+    clean.run(dec)
+    assert n_before == clean.read_all(spark).count()  # orphan invisible
+
+
 def test_rerun_is_noop(spark, fixture_paths, nd_kwargs, tmp_path):
     dec = _decisions(spark, fixture_paths, nd_kwargs)
     root = str(tmp_path / "noop")

@@ -186,7 +186,12 @@ def generate(
                     )
                 for fb in highs:
                     ph ^= 1 << int(fb)
-            # members keep caption slightly varied but clean
+            # members share the rep's caption VERBATIM (deliberate:
+            # the clustering under test keys on phash Hamming distance
+            # only — caption equality is incidental — and the fixture
+            # bytes must stay stable across rounds for bench
+            # comparability; the phash path is isolated by the planted
+            # ground-truth stress in tests/test_neardup.py instead)
             add_row(
                 mid, cap, ph,
                 "keep" if mid == rep else "drop",

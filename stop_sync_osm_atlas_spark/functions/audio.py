@@ -78,8 +78,17 @@ def audio_features(audios: DataFrame, window_s: float = 0.5) -> DataFrame:
                 dur[i] = len(wave) / rate
                 if len(wave):
                     rms[i] = float(np.sqrt((wave * wave).mean()))
-                    zcr[i] = float(
-                        (np.signbit(wave[1:]) != np.signbit(wave[:-1])).mean()
+                    # a 1-sample clip has no crossings, not NaN-many:
+                    # mean() of the empty slice would emit a numpy
+                    # RuntimeWarning per row and a NaN on an ok=True row
+                    zcr[i] = (
+                        float(
+                            (
+                                np.signbit(wave[1:]) != np.signbit(wave[:-1])
+                            ).mean()
+                        )
+                        if len(wave) > 1
+                        else 0.0
                     )
                 nw[i] = int(len(wave) // max(1, int(window_s * rate)))
             yield pd.DataFrame(

@@ -489,6 +489,11 @@ import re as _re
 
 from ..fixtures.norm_tables import ALL_STOPWORDS as _SW_ALL
 from ..fixtures.norm_tables import STOPWORDS as _SW_BY_LANG
+# module-level, NOT inside _text_signals: the cached-import statement
+# measured ~0.9 µs/call — ~3% of the whole per-row signal pass on the
+# flagship hot path. No cycle: operators/scrub imports only
+# fixtures.norm_tables and functions.text, never functions.image.
+from ..operators.scrub import scrub_python as _scrub_python
 from .text import ASCII_WS as _ASCII_WS
 
 _WS_RE = _re.compile(r"\s+", _re.ASCII)
@@ -502,8 +507,7 @@ _LANGS_SORTED = sorted(_SW_BY_LANG)
 def _text_signals(cap) -> tuple:
     """(n_words, rep_ratio, symbol_ratio, stop_density, lang, lang_conf,
     scrubbed, pii_only) — exact mirror of the Catalyst rule semantics."""
-    from ..operators.scrub import scrub_python
-
+    scrub_python = _scrub_python
     if not isinstance(cap, str) or not cap.strip(_ASCII_WS):
         scrubbed = scrub_python(cap) if isinstance(cap, str) else None
         return 0, 0.0, 0.0, 0.0, "und", 0.0, scrubbed, False

@@ -84,7 +84,17 @@ def n_chars(c: Column) -> Column:
 
 
 def distinct_word_ratio(c: Column) -> Column:
-    """|distinct words| / |words|; 1.0 for empty (no repetition evidence)."""
+    """|distinct words| / |words|; 1.0 for empty (no repetition evidence).
+
+    KNOWN CodegenFallback: array_distinct de-codegens any projection
+    containing it (CLAUDE.md rule) and no codegen'd built-in computes a
+    distinct count over a split array. The batch cascade bounds the
+    cost by packing it into the one hits-mask projection
+    (cascade.py); the fused Arrow pass avoids it entirely (set() in
+    _text_signals); streaming and the standalone q-paths pay one
+    interpreted projection per row — measured small at their row
+    rates, revisit only if a repetition signal lands on a new hot
+    path."""
     w = words(c)
     return F.when(F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)).otherwise(
         F.lit(1.0)

@@ -23,10 +23,19 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .image import synth_pixels
+from .image import MAX_DECODE_PIXELS, synth_pixels
 
 VIDEO_MAGIC = b"SGV1"
 _HDR = struct.Struct("<4sIIIQ")
+
+# decode-bomb budget for the frame COUNT (the video-specific
+# amplification axis on top of image.MAX_DECODE_PIXELS): a corrupt
+# 24-byte header claiming 2^32-1 frames of 65535x65535 would otherwise
+# loop ~4e8 times allocating ~12 GB per frame inside a mapInPandas
+# worker — the exact DoS image.py's pixel budget guards, reintroduced
+# via the header. A real keyframe-only stream at 30 fps is bounded by
+# clip length; 1M frames ≈ 9 h of video.
+MAX_VIDEO_FRAMES = 1_000_000
 
 FRAME_SAMPLE_SCHEMA = (
     "video_id string, frame_idx int, n_frames int, w int, h int, "
@@ -39,11 +48,18 @@ def encode_video(seed: int, w: int, h: int, n_frames: int) -> bytes:
 
 
 def decode_video_header(b: bytes) -> tuple[int, int, int, int] | None:
-    """(n_frames, w, h, seed) or None if not a valid container."""
+    """(n_frames, w, h, seed) or None if not a valid container.
+
+    Enforces the decode-bomb budgets BEFORE any allocation: header
+    dims above ``image.MAX_DECODE_PIXELS`` or a frame count above
+    ``MAX_VIDEO_FRAMES`` reject the cell (ok=false row downstream),
+    the same stance as the image codecs."""
     if b is None or len(b) < _HDR.size:
         return None
     magic, n_frames, w, h, seed = _HDR.unpack_from(b)
     if magic != VIDEO_MAGIC or n_frames <= 0 or w <= 0 or h <= 0:
+        return None
+    if w * h > MAX_DECODE_PIXELS or n_frames > MAX_VIDEO_FRAMES:
         return None
     return n_frames, w, h, seed
 

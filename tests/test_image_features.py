@@ -338,6 +338,23 @@ def test_video_frame_sampling(spark):
     assert m1 == m2
     assert decode_video_header(rows[0][1])[0] == 25
 
+    # decode-bomb guard: a corrupt header claiming 2^32-1 frames of
+    # 65535x65535 must be REJECTED before any allocation (it would
+    # otherwise loop ~4e8 times allocating ~12 GB per frame inside the
+    # mapInPandas worker — the image.MAX_DECODE_PIXELS attack via the
+    # video header), surfacing as one ok=false row
+    import struct as _st
+
+    bomb = _st.pack("<4sIIIQ", b"SGV1", 2**32 - 1, 65535, 65535, 7)
+    assert decode_video_header(bomb) is None
+    many = _st.pack("<4sIIIQ", b"SGV1", 2_000_000, 4, 4, 7)
+    assert decode_video_header(many) is None  # frame-count budget
+    bdf = spark.createDataFrame(
+        pd.DataFrame([("bomb", bomb)], columns=["video_id", "bytes"])
+    )
+    bout = sample_frames(bdf).toPandas()
+    assert len(bout) == 1 and not bout.ok.iloc[0]
+
 
 def test_audio_features(spark):
     """Multimodal audio plumbing: windowed features, corrupt guard

@@ -406,8 +406,12 @@ def q09_min_by(spark, sf):
 
 def q10_first_last(spark, sf):
     """A4: per-key first/last by sequence (idxmin/idxmax analog,
-    get_atlas_data.py:230-251)."""
-    e = _t(spark, sf, "events")
+    get_atlas_data.py:230-251).
+
+    Null-ts rows are excluded in both mirrors: Spark's ASC window puts
+    nulls FIRST while DuckDB puts them LAST, so one null-ts event would
+    flip first_type between the engines (the q19 null-ordering class)."""
+    e = _t(spark, sf, "events").where(F.col("ts").isNotNull())
     asc = W.partitionBy("user_id").orderBy("ts", "event_id")
     desc = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
@@ -589,7 +593,10 @@ def q19_sessionize(spark, sf):
 def q33_json_path(spark, sf):
     """F11: JSON-path predicate (query_builder.py:95-97 json_search)."""
     e = _t(spark, sf, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: JSON-extracted text is a text feed — under ANSI a plain
+    # cast would kill the whole scan on one non-numeric $.k (the oracle
+    # uses TRY_CAST, keeping the null-row mirror aligned)
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         e.withColumn("k", k)
         .filter(F.col("k") > 50)
@@ -2053,52 +2060,18 @@ FROM pairs p LEFT JOIN ct ON ct.id = p.doc_id
 
 
 def _oracle_q26() -> str:
-    """MinHash in SQL: same md5-anchored hash family as the engine."""
-    words = _sql_words("text")
-    n = 3
-    shingles = (
-        f"list_distinct(list_transform(range(1, greatest(len({words}) - {n - 1}, 0) + 1), "
-        f"i -> list_aggregate(list_slice({words}, i, i + {n - 1}), 'string_agg', ' ')))"
-    )
-    hashes = (
-        f"list_transform({shingles}, s -> "
-        f"CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT))"
-    )
-    sig_exprs = ", ".join(
-        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {DD.MINHASH_PRIME})) AS s{k}"
-        for k, (a, b) in enumerate(DD.MINHASH_COEFFS)
-    )
-    n_bands = len(DD.MINHASH_COEFFS) // DD.LSH_BAND_ROWS
-    band_structs = ", ".join(
-        "{'band': %d, 'key': %s}"
-        % (
-            bi,
-            " || ',' || ".join(
-                f"CAST(s{bi * DD.LSH_BAND_ROWS + r} AS VARCHAR)"
-                for r in range(DD.LSH_BAND_ROWS)
-            ),
-        )
-        for bi in range(n_bands)
-    )
-    agree = " + ".join(
-        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END" for k in range(len(DD.MINHASH_COEFFS))
-    )
+    """MinHash in SQL — built from the SAME ``_minhash_pair_ctes``
+    block the q02 corpus oracle uses (ONE source of truth for the
+    shingle/signature/band contract; the previous copy duplicated ~40
+    lines that could silently diverge); q26 additionally projects the
+    rounded agreement estimate for every surviving pair."""
+    block, agree = _minhash_pair_ctes("documents", 0.35)
+    n_sig = len(DD.MINHASH_COEFFS)
     return f"""
-WITH sh AS (
-  SELECT doc_id AS id, {hashes} AS hs FROM documents
-  WHERE len({words}) >= {n}
-), sig AS (
-  SELECT id, {sig_exprs} FROM sh WHERE len(hs) > 0
-), bands AS (
-  SELECT id, sig.*, unnest([{band_structs}]) AS bk FROM sig
-), cands AS (
-  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-  FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id
-)
-SELECT c.a_id, c.b_id,
-  round(({agree}) * 1.0 / {len(DD.MINHASH_COEFFS)}, 6) AS est_jaccard
-FROM cands c JOIN sig a ON c.a_id = a.id JOIN sig b ON c.b_id = b.id
-WHERE ({agree}) * 1.0 / {len(DD.MINHASH_COEFFS)} >= 0.35
+WITH {block}
+SELECT p.a_id, p.b_id,
+  round(({agree}) * 1.0 / {n_sig}, 6) AS est_jaccard
+FROM mh_pairs p JOIN mh_sig a ON p.a_id = a.id JOIN mh_sig b ON p.b_id = b.id
 """
 
 
@@ -2249,9 +2222,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _q37_dim_values() -> str:
+    """The q37 token/prio/lang dim table interpolated from the SAME
+    norm_tables the engine side reads (a hand-maintained VALUES copy
+    silently desynchronized from any STOPWORDS/LANGS edit)."""
+    return ", ".join(
+        f"('{w}', {prio + 1}, '{lang}')"
+        for prio, lang in enumerate(LANGS)
+        for w in STOPWORDS[lang]
+    )
+
+
 def oracle_sql() -> dict[str, str]:
-    sw = _sql_list(ALL_STOPWORDS)
-    _ = sw
     return {
         "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -2316,6 +2298,7 @@ SELECT DISTINCT user_id,
   first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type,
   first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS last_type
 FROM events
+WHERE ts IS NOT NULL
 """,
         "q11_distinct_pairs": """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
@@ -2630,7 +2613,7 @@ SELECT p_type, p_partkey, 'tiebreak' FROM cand
 WHERE n_cand > 1 AND n_tie = 1 AND p_brand = 'Brand#11'
 """,
         "q37_token_match": f"""
-WITH dim(token, prio, lang) AS (VALUES ('der', 1, 'de'), ('die', 1, 'de'), ('das', 1, 'de'), ('und', 1, 'de'), ('ein', 1, 'de'), ('mit', 1, 'de'), ('auf', 1, 'de'), ('ist', 1, 'de'), ('von', 1, 'de'), ('zu', 1, 'de'), ('the', 2, 'en'), ('and', 2, 'en'), ('of', 2, 'en'), ('to', 2, 'en'), ('a', 2, 'en'), ('in', 2, 'en'), ('is', 2, 'en'), ('with', 2, 'en'), ('on', 2, 'en'), ('for', 2, 'en'), ('le', 3, 'fr'), ('la', 3, 'fr'), ('les', 3, 'fr'), ('et', 3, 'fr'), ('un', 3, 'fr'), ('une', 3, 'fr'), ('dans', 3, 'fr'), ('est', 3, 'fr'), ('avec', 3, 'fr'), ('sur', 3, 'fr'), ('il', 4, 'it'), ('la', 4, 'it'), ('di', 4, 'it'), ('e', 4, 'it'), ('un', 4, 'it'), ('una', 4, 'it'), ('con', 4, 'it'), ('per', 4, 'it'), ('sono', 4, 'it'), ('del', 4, 'it')),
+WITH dim(token, prio, lang) AS (VALUES {_q37_dim_values()}),
 toks AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text, {_WS})), '{_WS_RE}+'))) AS token
   FROM documents
@@ -2651,7 +2634,7 @@ WHERE (((o_orderkey % 18000) / 100.0 - 90.0) BETWEEN 10 AND 40
 """,
         "q33_json_path": """
 SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k FROM (
-  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
 ) WHERE k > 50 GROUP BY event_type
 """,
         "q35_grouped_collect": """

@@ -150,6 +150,15 @@ def main() -> None:
         widths = tuple(
             int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(",")
         )
+        # exactly two ASCENDING widths: descending input would silently
+        # publish an INVERTED efficiency into BENCH/BASELINE.md as
+        # north-rule evidence; wrong length crashed after the (long)
+        # fixture build
+        if len(widths) != 2 or widths[0] >= widths[1]:
+            raise SystemExit(
+                "SPARK_GRAFT_SCALING_CPUS must be two ascending widths, "
+                f"e.g. '2,8' (got {widths!r})"
+            )
         n_lo, n_hi = widths
         pairs_path = ensure_pairs(PAIRS_N, dims=SCALING_DIMS)
         results = {}
@@ -272,9 +281,18 @@ def main() -> None:
         for i in range(2):
             t0 = time.time()
             dec, bins = prepare_corpus(docs)
-            bins.count()
-            dec.unpersist()
-            corpus_prep_sec = round(time.time() - t0, 3)
+            try:
+                bins.count()
+                wall = round(time.time() - t0, 3)
+            finally:
+                # unpersist even when the timed run throws (the persisted
+                # decisions frame would otherwise leak for the session)
+                dec.unpersist()
+            if i == 1:
+                # record ONLY the steady (second) run: assigning inside
+                # the loop let a crash in run 2 publish run 1's cold
+                # wall as the metric while stderr claimed it was skipped
+                corpus_prep_sec = wall
     except Exception as exc:  # pragma: no cover - defensive
         _log(f"corpus_prep skipped: {exc}")
 

@@ -33,7 +33,13 @@ def norm_cell(v):
         # DuckDB HUGEINT sum (-> float64 44.0) must NOT canonicalize equal
         # to Spark's bigint 44.  Tag floats with 'f' so type drift fails here
         # before it fails at the driver.
-        return f"{v:.6g}f"
+        # 12 significant digits, not 6: %.6g collapsed real mirror drift
+        # (a 12-cent divergence on a 1.2M revenue sum normalized equal
+        # locally and only failed at the driver). The repo's rounding
+        # conventions (round to 2/4/6 dp before compare) make mirrored
+        # values EXACTLY equal, so 12 digits catches every real drift
+        # while still absorbing sub-ulp repr noise.
+        return f"{v:.12g}f"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if hasattr(v, "tolist"):  # numpy arrays
@@ -67,6 +73,14 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     n_fail = 0
+    if only:
+        # a typo'd name would otherwise filter out EVERYTHING and print
+        # a false-green 'FAILURES: 0' having verified nothing
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(
+                f"unknown query name(s) {unknown}; valid: {sorted(qs)}"
+            )
     for name, fn in qs.items():
         if only and name not in only:
             continue

@@ -41,6 +41,24 @@ def test_no_row_at_a_time_python_in_any_graded_plan(spark):
     assert not offenders, offenders
 
 
+def test_no_cartesian_product_in_any_graded_plan(spark):
+    """Scale invariant: no graded plan may contain a CartesianProduct
+    node. The deliberate brute-force baselines (q30/q40 crossJoin)
+    broadcast one side, so they plan as BroadcastNestedLoopJoin — an
+    actual CartesianProduct means a join lost its keys or its
+    broadcast hint and would shuffle |A|x|B| at corpus scale."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders[name] = [
+                ln for ln in plan.splitlines() if "CartesianProduct" in ln
+            ][:2]
+    assert not offenders, offenders
+
+
 def _broadcast_subtrees(simple_plan: str) -> list[list[str]]:
     """Split a `simple`-mode plan tree into the subtree line-lists
     rooted at each BroadcastExchange node. Depth is the column of the

@@ -36,7 +36,17 @@ def ensure_corpus(tiles: int, n_shards: int = 32) -> str:
     import duckdb
     import pyarrow.parquet as pq
 
-    path = f"/tmp/spark_graft_bench/docs_x{tiles}"
+    # cache key includes the SOURCE fixture (dir + parquet mtime): a
+    # tiles-only key silently reused a corpus tiled from a DIFFERENT
+    # SF_DIR, attributing every timing in the appended evidence log to
+    # the wrong fixture
+    import hashlib
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    src_key = hashlib.md5(
+        f"{SF_DIR}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/spark_graft_bench/docs_x{tiles}_{src_key}"
     marker = os.path.join(path, "_done")
     if os.path.exists(marker):
         return path
@@ -242,6 +252,10 @@ def main() -> None:
         "slim-token stats-only path)",
     )
     args = ap.parse_args()
+
+    if args.stats_only and not args.substr:
+        ap.error("--stats-only only applies to --substr (it would "
+                 "otherwise silently run the full pipeline stress)")
 
     if args.substr and not args.scaling:
         print(

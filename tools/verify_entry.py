@@ -91,7 +91,15 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(sdf)} rows, cols={sorted(sdf.columns)}")
+            # this repo's contract is ALL 50 queries carry SQL oracles:
+            # a missing oracle_sql() entry is exactly the drift this
+            # gate exists to catch, so it must fail, not degrade to a
+            # rows-only note that still prints FAILURES: 0
+            print(
+                f"FAIL {name}: ROWS-ONLY ({len(sdf)} rows) — no "
+                f"oracle_sql() entry"
+            )
+            n_fail += 1
             continue
         try:
             ddf = con.sql(oracles[name]).to_df()

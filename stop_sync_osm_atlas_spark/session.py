@@ -38,9 +38,19 @@ def get_spark(
     # In local[N] the parallelism is N threads; match shuffle width to it.
     n_threads = cpus
     if master.startswith("local["):
-        inner = master[len("local[") : -1]
+        # handle the full master grammar: local[N], local[*], and
+        # local[N,maxFailures] (int('4,2') crashed the old parse)
+        inner = master[len("local[") : -1].split(",")[0]
         n_threads = os.cpu_count() or 32 if inner == "*" else int(inner)
+    elif master == "local":
+        n_threads = 1
     if shuffle_partitions is None:
+        # floor of 4: tiny local masters still get enough partitions
+        # for AQE to coalesce. NOTE this makes the local[2]-vs-local[8]
+        # scaling pair slightly asymmetric (4 partitions on 2 cores =
+        # two task waves vs 8-on-8) — a constant of the recorded
+        # methodology since round 1, kept so cross-round scaling
+        # samples stay comparable.
         shuffle_partitions = max(4, n_threads)
 
     builder = (

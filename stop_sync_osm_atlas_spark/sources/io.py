@@ -19,11 +19,14 @@ def iceberg_available(spark: SparkSession) -> bool:
 
     py4j returns a JavaPackage placeholder (it does NOT raise) for a
     missing class, so the old attribute-access probe reported True on
-    every cluster — Class.forName is the real check (it throws
-    ClassNotFoundException, surfacing here as Py4JJavaError)."""
+    every cluster — a real class load is the check. Spark's
+    Utils.classForName resolves via the CONTEXT classloader, which is
+    what holds jars shipped with --packages/spark.jars; plain
+    java.lang.Class.forName would use the app classloader and
+    false-negative on exactly the deployment the gate exists for."""
     try:
-        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
-            "org.apache.iceberg.Table"
+        spark._jvm.org.apache.spark.util.Utils.classForName(  # type: ignore[attr-defined]
+            "org.apache.iceberg.Table", True, False
         )
         return True
     except Exception:

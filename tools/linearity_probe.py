@@ -84,6 +84,24 @@ def _one(spark, n, cpus, variant, decode_validate_inline, neardup, PAIRS_SCHEMA)
     ph_map, n_map = neardup.neardup_phash_map(pairs, **ND_KW)
     out["ndmap_sec"] = round(time.time() - t0, 2)
     out["n_map"] = n_map
+    # release the standalone phase's map BEFORE timing the full run:
+    # (a) under the no_checkpoint variant the persist substitute
+    # registers it in the CacheManager, and run_pipeline's canonically
+    # identical ph_map plan would be SUBSTITUTED with the cached
+    # relation — full_sec would silently exclude the whole map build in
+    # that variant only, inverting the probe's A/B; (b) even in the
+    # default variant the materialized blocks would occupy executor
+    # storage during the full timing, contaminating the storage-
+    # pressure question the variants isolate.
+    try:
+        ph_map.unpersist()
+    except Exception:
+        pass
+    del ph_map
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
 
     t0 = time.time()
     run_pipeline(spark, pairs_path, "/tmp/spark_graft_bench/out_probe")

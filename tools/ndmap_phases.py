@@ -20,7 +20,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from bench import ND_KW, ensure_pairs, run_pipeline  # noqa: E402
 
@@ -166,7 +165,7 @@ def one(spark, n: int, cpus: int, PAIRS_SCHEMA) -> None:
 
     local.unpersist()
     pc.unpersist()
-    print(json.dumps(out, default=str))
+    print(json.dumps(out, default=str), flush=True)
 
 
 if __name__ == "__main__":

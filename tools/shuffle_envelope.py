@@ -58,8 +58,10 @@ def run_once(cpus: int) -> dict:
     spark = get_spark(master=f"local[{cpus}]")
 
     def agg_job(rows: int, keys: int) -> int:
+        # pmod, not %: signed remainders double the true key
+        # cardinality vs the constant recorded in the evidence log
         df = spark.range(rows).select(
-            (F.xxhash64("id") % keys).alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(keys)).alias("k"),
             (F.col("id") % 97).alias("v"),
         )
         return (
@@ -71,11 +73,14 @@ def run_once(cpus: int) -> dict:
 
     def win_job(rows: int, keys: int) -> int:
         df = spark.range(rows).select(
-            (F.xxhash64("id") % keys).alias("k"),
-            (F.xxhash64("id", F.lit(7)) % 1_000_003).alias("ord"),
+            F.pmod(F.xxhash64("id"), F.lit(keys)).alias("k"),
+            F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1_000_003)).alias("ord"),
             (F.col("id") % 89).alias("v"),
         )
-        w = W.partitionBy("k").orderBy("ord")
+        # 'v' breaks ord ties deterministically: row_number over a tied
+        # unstable sort made the survivors cross-check able to flip
+        # between widths with no real defect
+        w = W.partitionBy("k").orderBy("ord", "v")
         return (
             df.select(
                 "k",
@@ -127,10 +132,16 @@ def main() -> None:
         )
     results = {}
     for c in widths:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpus", str(c)],
-            capture_output=True, text=True, check=True,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus", str(c)],
+                capture_output=True, text=True, check=True,
+            )
+        except subprocess.CalledProcessError as e:
+            # surface the child's Spark traceback — check=True alone
+            # reports only an opaque exit status
+            sys.stderr.write(e.stderr or "")
+            raise
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[c] = json.loads(line)
     lo, hi = results[widths[0]], results[widths[1]]

@@ -154,10 +154,17 @@ def stage_and_drain_many(
 ) -> dict[str, DataFrame]:
     """``stage_and_drain`` for SEVERAL streaming transforms over ONE
     staged copy of ``df`` — the parquet staging write (the wide part)
-    runs once, then each ``(make_stream, query_name, output_mode)``
-    spec drains sequentially into its own memory sink. Returns
+    runs once, then every ``(make_stream, query_name, output_mode)``
+    spec is STARTED before any is drained, so the independent streams'
+    micro-batches overlap (each arm's spin-up and stragglers back-fill
+    the others' idle cores — the overlap-independent-jobs pattern;
+    measured on the three-arm q53: sequential drains cost the SUM of
+    the arms, concurrent the max). ``processAllAvailable`` then waits
+    per query; each stream consumes the same immutable staged files, so
+    drain results are identical to the sequential order. Returns
     {query_name: batch frame}. Same per-process staging-path and
-    exception-safe-cleanup contract as ``stage_and_drain``."""
+    exception-safe-cleanup contract as ``stage_and_drain``: every
+    started query is stopped even when a start or drain throws."""
     import hashlib
     import os
     import shutil
@@ -172,19 +179,24 @@ def stage_and_drain_many(
     # (disk full, serialization error) still hits the finally rmtree
     try:
         df.write.mode("overwrite").parquet(tmp)
-        for make_stream, query_name, output_mode in specs:
-            q = (
-                make_stream(spark, tmp)
-                .writeStream.outputMode(output_mode)
-                .format("memory")
-                .queryName(query_name)
-                .start()
-            )
-            try:
+        started: list = []
+        try:
+            for make_stream, query_name, output_mode in specs:
+                started.append(
+                    make_stream(spark, tmp)
+                    .writeStream.outputMode(output_mode)
+                    .format("memory")
+                    .queryName(query_name)
+                    .start()
+                )
+            for (_, query_name, _), q in zip(specs, started):
                 q.processAllAvailable()
-            finally:
+                out[query_name] = spark.sql(f"SELECT * FROM {query_name}")
+        finally:
+            # an interrupted start/drain must not leave ANY query
+            # running against tmp (the rmtree below would race it)
+            for q in started:
                 q.stop()
-            out[query_name] = spark.sql(f"SELECT * FROM {query_name}")
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

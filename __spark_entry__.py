@@ -575,8 +575,12 @@ def q19_sessionize(spark, sf):
         stream_sessionize,
     )
 
+    # stage ONLY the three columns the sessionizer reads — the staged
+    # parquet copy otherwise carries the props/value payload for nothing
+    # (project before the heavy write, guide-of-record rule)
     sink = stage_and_drain(
-        spark, e, stream_sessionize, "q19_session_sink", tag=sf,
+        spark, e.select("event_id", "ts", "user_id"), stream_sessionize,
+        "q19_session_sink", tag=sf,
         output_mode="update",
     )
     stream = (

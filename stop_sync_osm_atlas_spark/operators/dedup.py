@@ -164,6 +164,13 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= max_shingle_df)
             .drop("_df")
         )
+    # sh is a THREE-way diamond (per-doc sizes + both self-join sides)
+    # and Catalyst specializes shared subtrees, so the explode + lead
+    # window + distinct (+ df-cap window) chain would run once per
+    # consumer. localCheckpoint(eager=False) — the repo-wide diamond
+    # rule: one slim (id, shingle) RDD feeds all three, blocks freed by
+    # the ContextCleaner, laziness keeps construction job-free.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

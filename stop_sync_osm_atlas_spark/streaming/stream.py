@@ -255,7 +255,13 @@ def stream_sessionize(
     import pandas as _pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    # the sessionizer consumes exactly (event_id, ts, user_id) — declare
+    # only those so the parquet scan prunes and a staged copy may be
+    # pre-projected (q19 stages the slim frame; parquet happily serves a
+    # subset schema either way)
+    events = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(input_dir)
 
     def _fn(key, pdfs, state):
         if state.exists:

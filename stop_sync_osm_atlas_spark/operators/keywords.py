@@ -54,14 +54,17 @@ def tfidf_topk(
         F.explode(words(F.col(text_col))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    # NO broadcast hint on df: it is the full distinct-term table, which
-    # on web text is billions of rows — forcing it into a broadcast would
-    # OOM the executors at scale. Unhinted, Catalyst plans a shuffled
-    # join co-partitioned on term (tf is already partitioned by (id,
-    # term) -> AQE reuses stats and converts to broadcast at runtime
-    # exactly when df actually fits).
-    joined = tf.join(df, "term")
+    # df = docs-containing-term = rows per term in tf. As a separate
+    # aggregate + join, tf fed two consumers and Catalyst re-specialized
+    # the token explode + aggregate per consumer (two Generate+Scan
+    # chains in the old q52 plan). A window count over term computes the
+    # SAME value on one frame: one explode chain, one exchange on term
+    # instead of a second full chain + join, and plan building stays
+    # job-free (a localCheckpoint here would run the shuffle map stages
+    # eagerly under AQE — measured, and pinned by
+    # test_tfidf_plan_building_runs_no_job). No per-term state is ever
+    # collected, so the billions-of-terms scale contract is unchanged.
+    joined = tf.withColumn("df", F.count("*").over(W.partitionBy("term")))
     if n_frame is not None:
         # 1-row aggregate rides the same job as a broadcast nested-loop
         # cross join — N is exact (counts token-less docs too) without a

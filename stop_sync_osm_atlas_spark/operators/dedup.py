@@ -66,9 +66,19 @@ def word_shingles(c: Column, n: int = 3) -> Column:
 
 
 def shingle_rows(
-    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct (id, shingle) rows via posexplode + lead window.
+
+    ``distinct=False`` skips the per-doc dedup exchange and returns one
+    row per gram OCCURRENCE — for consumers whose aggregation is
+    idempotent to duplicates (min/minhash), where the distinct is a
+    wasted full shuffle; count-based consumers (Jaccard sizes,
+    contamination fractions) need the default.
 
     Replaces the array-lambda shingle builder in the hot path: Spark's
     higher-order functions (transform/aggregate) are CodegenFallback —
@@ -92,11 +102,8 @@ def shingle_rows(
         F.concat_ws(" ", *parts).alias("shingle"),
         F.lead("w", n - 1).over(win).alias("_last"),
     )
-    return (
-        sh.where(F.col("_last").isNotNull())
-        .select("id", "shingle")
-        .distinct()
-    )
+    out = sh.where(F.col("_last").isNotNull()).select("id", "shingle")
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(
@@ -212,10 +219,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig) signatures via explode + 16 codegen'd MIN aggregates.
 
-    One shuffle (the groupBy) computes the whole signature; md5 runs as
-    a top-level codegen expression exactly once per distinct shingle.
+    ONE exchange end to end: min is idempotent to duplicate shingles,
+    so the per-doc distinct (a full extra shuffle) is skipped
+    (``shingle_rows(distinct=False)``) and the groupBy(id) reuses the
+    lead window's hash partitioning on id — md5 now runs once per gram
+    OCCURRENCE instead of once per distinct gram, a strict win while
+    occurrences stay within ~2x of distincts (true for natural text;
+    the signature values are bit-identical either way).
     """
-    sh = shingle_rows(docs, n=n, text_col=text_col, id_col=id_col)
+    sh = shingle_rows(docs, n=n, text_col=text_col, id_col=id_col, distinct=False)
     h = md5_int(F.col("shingle"))
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{k}")

@@ -281,8 +281,16 @@ def test_fused_training_single_scan_single_shuffle(spark, fixture_paths):
 
     plan = _plan(_capture.df)
     # formatted output names each node twice (tree + "(N) <node>" detail
-    # header) — count the detail headers.
-    assert plan.count(") Exchange") == 1, plan
+    # header) — count the detail headers. Exactly ONE data shuffle (the
+    # hash-partitioned aggregation exchange); the optional SECOND
+    # exchange is the r7 scale-adaptive round-robin widening of a
+    # narrow input before the Python pass — never a second aggregation
+    # shuffle, never a second scan.
+    n_ex = plan.count(") Exchange")
+    assert plan.count("hashpartitioning") == 1, plan
+    assert n_ex in (1, 2), plan
+    if n_ex == 2:
+        assert "RoundRobinPartitioning" in plan, plan
     assert plan.count(") Scan parquet") == 1, plan
     assert plan.count(") MapInPandas") == 1, plan
     scan = [seg for seg in plan.split("\n\n") if "Scan parquet" in seg][0]

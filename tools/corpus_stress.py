@@ -77,6 +77,91 @@ def ensure_corpus(tiles: int, n_shards: int = 32) -> str:
     return path
 
 
+def ensure_skewed_corpus(tiles: int, family: int, n_shards: int = 32) -> str:
+    """Tiled corpus + a planted VIRAL FAMILY: ``family`` docs with
+    byte-identical text (distinct doc_ids). Identical text -> identical
+    minhash signature -> every one of the 4 LSH band keys is a hot key
+    of size ``family`` — the 100 TB failure mode minhash_lsh_pairs'
+    salt-stripe guard exists for (a near-identical template family that
+    exact dedup upstream cannot assume removed at the operator level).
+    The 20x-tiled background keeps band keys otherwise small (tiles
+    differ in their leading token)."""
+    import hashlib
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    src_key = hashlib.md5(
+        f"{SF_DIR}:{os.path.getmtime(src)}:skew{family}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/spark_graft_bench/docs_skew_x{tiles}_f{family}_{src_key}"
+    marker = os.path.join(path, "_done")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    tbl = duckdb.sql(
+        f"""
+        SELECT d.doc_id + t.t * 1000000 AS doc_id,
+               'tile' || CAST(t.t AS VARCHAR) || ' ' || d.text AS text,
+               d.lang
+        FROM read_parquet('{SF_DIR}/documents.parquet') d,
+             (SELECT unnest(range({tiles})) AS t) t
+        UNION ALL
+        SELECT 90000000 + f.f AS doc_id,
+               'viral boilerplate template shared verbatim across the '
+               || 'whole crawl with enough words that every three gram '
+               || 'window stays stable and the sixteen minhash values '
+               || 'agree exactly for each copy of this document' AS text,
+               'en' AS lang
+        FROM (SELECT unnest(range({family})) AS f) f
+        ORDER BY doc_id
+        """
+    ).arrow()
+    n = tbl.num_rows
+    step = (n + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        chunk = tbl.slice(s * step, step)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{s:03d}.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return path
+
+
+def run_skewed(cpus: int, tiles: int, family: int) -> dict:
+    """Guarded-vs-unguarded A/B of minhash_lsh_pairs on the planted
+    hot-band corpus (one session, warm canary first): the guard must
+    produce the IDENTICAL pair count while bounding per-task candidate
+    enumeration (unguarded funnels all C(family,2) family pairs of a
+    band through one task)."""
+    from pyspark.sql import functions as F
+
+    from stop_sync_osm_atlas_spark.operators.dedup import minhash_lsh_pairs
+    from stop_sync_osm_atlas_spark.session import get_spark
+
+    path = ensure_skewed_corpus(tiles, family)
+    spark = get_spark(master=f"local[{cpus}]")
+    docs = spark.read.parquet(path)
+    n_docs = docs.count()
+    out: dict = {"cpus": cpus, "tiles": tiles, "family": family,
+                 "docs_in": n_docs}
+    # warm the session (codegen + Python forks) on the unplanted slice
+    minhash_lsh_pairs(docs.where(F.col("doc_id") < 5000)).count()
+    for label, kw in (
+        ("guarded", {}),
+        ("unguarded", {"salt_rows": 10**9}),
+    ):
+        spark.sparkContext.setJobDescription(f"lsh_skew_{label}")
+        t0 = time.time()
+        n_pairs = minhash_lsh_pairs(docs, **kw).count()
+        out[f"wall_{label}"] = round(time.time() - t0, 2)
+        out[f"pairs_{label}"] = n_pairs
+        spark.sparkContext.setJobDescription(None)
+    out["pairs_match"] = out["pairs_guarded"] == out["pairs_unguarded"]
+    return out
+
+
 def run_once(cpus: int, tiles: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -246,6 +331,13 @@ def main() -> None:
     ap.add_argument("--phases", action="store_true")
     ap.add_argument("--substr", action="store_true")
     ap.add_argument(
+        "--skewed",
+        action="store_true",
+        help="planted hot-band-key corpus: guarded vs unguarded "
+        "minhash_lsh_pairs A/B (the r7 salt-stripe guard evidence)",
+    )
+    ap.add_argument("--family", type=int, default=10000)
+    ap.add_argument(
         "--stats-only",
         action="store_true",
         help="--substr variant: include_dedup_text=False (the r6 "
@@ -256,6 +348,10 @@ def main() -> None:
     if args.stats_only and not args.substr:
         ap.error("--stats-only only applies to --substr (it would "
                  "otherwise silently run the full pipeline stress)")
+
+    if args.skewed:
+        print(json.dumps(run_skewed(args.cpus, args.tiles, args.family)))
+        return
 
     if args.substr and not args.scaling:
         print(

@@ -23,10 +23,43 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf signature resolution
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+# Python-side host-mode canary (VERDICT r6 item 2: the pure-JVM q01/q32
+# canary under-corrects Python-heavy rows). A pinned Arrow-UDF pass over
+# a fixed 200k-row range: plan frozen (range -> one pandas_udf -> agg),
+# wall dominated by the Python worker path. Pin = best-of-3 on a clean
+# session; compare py_canary_ratio across sessions the same way
+# bench.py's canary_ratio is used. bench.py itself is frozen for
+# measurement this round, so the canary ships here.
+PY_CANARY_PINNED = 0.54
+
+
+def _py_canary(spark) -> float:
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _work(x: pd.Series) -> pd.Series:
+        return (x * 1.0000001).pow(0.5) + (x % 97)
+
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(200_000)
+            .select(_work(F.col("id")).alias("v"))
+            .agg(F.sum("v"))
+            .collect()
+        )
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def main() -> None:
@@ -60,8 +93,10 @@ def main() -> None:
         out[name] = {"best": min(samples), "samples": samples}
         print(f"[bench_extra] {name}: best={min(samples)} {samples}",
               file=sys.stderr, flush=True)
+    pc = _py_canary(spark)
     print(json.dumps({"sf": args.sf, "cpus": CPUS, "noop": args.noop,
-                      "queries": out}))
+                      "queries": out, "py_canary_sec": pc,
+                      "py_canary_ratio": round(pc / PY_CANARY_PINNED, 3)}))
 
 
 if __name__ == "__main__":
